@@ -1,0 +1,106 @@
+"""Greedy vertex (gene) selection.
+
+Reference: pg_gen_vtx (vertex.c:6-100), algorithm described in
+tex/pangene.tex:248-254: genes are ranked by (preferred, #genomes where
+dominant, avg adjusted score) and greedily selected; a gene that is only
+shadowed in some genomes records its dominator there, and selecting it
+"consumes" the dominator in those genomes so that purely-redundant genes are
+not selected later (the y < x test).
+
+The per-genome dom/sub flags and dominator gids are data-parallel over
+genomes (device-side under sharding); the greedy scan itself is O(n_gene *
+n_genome) bookkeeping on small replicated state and stays host-side.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.data import DataSet
+from ..options import PG_F_WRITE_VTX_SEL, PgOpt
+from ..util import log_msg
+from .graphdata import Graph
+
+
+def gen_vtx(opt: PgOpt, q: Graph) -> None:
+    d = q.d
+    ng = d.n_gene
+    G = d.n_genome
+    prot_gid = np.asarray(d.prot_gid, np.int32)
+
+    # per-gene packed counters, exactly the reference's pg128_t layout:
+    #   x = preferred<<63 | n_dom<<32 | avg_score_adj ; y = n_sub<<32 | gid
+    rep_pid = np.asarray(d.gene_rep_pid, np.int64)
+    avg_adj = np.asarray(d.prot_avg_score_adj, np.int64)[rep_pid]
+    x = avg_adj.astype(np.uint64).copy()
+    y = np.arange(ng, dtype=np.uint64)
+
+    # aux[j][gid]: (n_gene+1)<<1 = unseen; n_gene<<1 = dominant (non-shadowed);
+    # dom_gid<<1 = shadowed-only with recorded dominator; low bit = "consumed"
+    UNSEEN = np.uint32((ng + 1) << 1)
+    DOM = np.uint32(ng << 1)
+    aux = np.full((G, ng), UNSEEN, np.uint32)
+    for j, gen in enumerate(d.genomes):
+        h = gen.hits
+        flag = np.zeros(ng, np.uint8)
+        aj = aux[j]
+        m = np.flatnonzero((h.rank == 0) & (h.flt == 0))
+        for i in m:  # scan order matters for the first-dominator record
+            gid = int(prot_gid[h.pid[i]])
+            if h.shadow[i]:
+                assert h.pid_dom[i] >= 0
+                flag[gid] |= 2
+                if aj[gid] == UNSEEN:
+                    aj[gid] = np.uint32(prot_gid[h.pid_dom[i]] << 1)
+            else:
+                flag[gid] |= 1
+                aj[gid] = DOM
+        x[flag & 1 == 1] += np.uint64(1 << 32)
+        y[(flag & 1 == 0) & (flag & 2 == 2)] += np.uint64(1 << 32)
+
+    pref = np.asarray(d.gene_preferred, bool)
+    x[pref] |= np.uint64(1 << 63)
+
+    order = np.argsort(x, kind="stable")  # ascending, ties keep gid order
+    sel_gid = []
+    sel_dom = []
+    sel_sub = []
+    included = np.asarray(d.gene_included, bool)
+    vtx_thresh = G * opt.min_vertex_ratio
+    write_sel = bool(opt.flag & PG_F_WRITE_VTX_SEL)
+    for i in range(ng - 1, -1, -1):
+        xi = int(x[order[i]])
+        yi = int(y[order[i]])
+        n_dom = (xi >> 32) & ((1 << 31) - 1)  # bits 62..32 (x<<1>>33 in C)
+        n_sub = yi >> 32
+        gid = yi & 0xFFFFFFFF
+        col = aux[:, gid]
+        is_dom = (col >> 1) == ng
+        xx = int(is_dom.sum())
+        yy = int((col[is_dom] & 1).sum())
+        if write_sel:
+            print("g\t%s\t%d\t%d\t%d\t%d\t%c\t%c" % (
+                d.gene_name[gid], np.int32(np.uint32(xi & 0xFFFFFFFF)), xx, yy,
+                n_sub, "NY"[int(included[gid])], "NY"[int(pref[gid])]))
+        if included[gid] or (n_dom >= vtx_thresh and yy < xx):
+            sel_gid.append(gid)
+            sel_dom.append(n_dom)
+            sel_sub.append(n_sub)
+            if xx > 0:
+                shadowed = (col >> 1) < ng
+                aux[shadowed, (col[shadowed] >> 1).astype(np.int64)] |= 1
+
+    # final segment order: ascending gid (vertex.c:85-94)
+    seg = np.array(sel_gid, np.int64)
+    perm = np.argsort(seg, kind="stable")
+    q.seg_gid = seg[perm].astype(np.int32)
+    q.seg_n_dom = np.array(sel_dom, np.int32)[perm]
+    q.seg_n_sub = np.array(sel_sub, np.int32)[perm]
+    q.seg_n_genome = np.zeros(q.n_seg, np.int32)
+    q.seg_tot_cnt = np.zeros(q.n_seg, np.int32)
+    q.seg_del = np.zeros(q.n_seg, np.uint8)
+    q.seg_n_dist_loci = np.zeros((q.n_seg, 2), np.int32)
+    q.gen_g2s()
+    log_msg("pg_gen_vtx", "selected %d vertices out of %d genes",
+            q.n_seg, d.n_gene)

@@ -1,0 +1,102 @@
+"""GFA emission: S (gene segments), L (oriented arcs), W (per-contig walks).
+
+Byte-exact mirror of the reference writers (format.c:120-225): S lines in
+segment (gid-sorted) order with LN/ng/nc/c1/c2/pp tags, L lines in x-sorted
+arc order with 0M overlap and ng/nc/ad/s1/s2 tags, one W line per contig in
+cm-order with PanSN "sample#hap#ctg" parsing and lf:B:i loss-of-function
+tags. Pure host-side I/O.
+"""
+from __future__ import annotations
+
+import re
+from typing import IO, Optional, Tuple
+
+import numpy as np
+
+from ..core.data import DataSet
+from ..graph.graphdata import Graph
+from ..ops.sort import hit_sort
+
+
+def write_seg(q: Graph, out: IO[str]) -> None:
+    d = q.d
+    for i in range(q.n_seg):
+        gid = int(q.seg_gid[i])
+        pid = d.gene_rep_pid[gid]
+        out.write("S\t%s\t*\tLN:i:%d\tng:i:%d\tnc:i:%d\tc1:i:%d\tc2:i:%d\tpp:Z:%s\n" % (
+            d.gene_name[gid], d.prot_len[pid], q.seg_n_genome[i],
+            q.seg_tot_cnt[i], q.seg_n_dom[i], q.seg_n_sub[i],
+            d.prot_name[pid]))
+
+
+def write_arc(q: Graph, out: IO[str]) -> None:
+    d = q.d
+    for i in range(q.n_arc):
+        x = int(q.arcs.x[i])
+        v, w = x >> 32, x & 0xFFFFFFFF
+        out.write("L\t%s\t%c\t%s\t%c\t0M\tng:i:%d\tnc:i:%d\tad:i:%d\ts1:i:%d\ts2:i:%d\n" % (
+            d.gene_name[q.seg_gid[v >> 1]], "+-"[v & 1],
+            d.gene_name[q.seg_gid[w >> 1]], "+-"[w & 1],
+            q.arcs.n_genome[i], q.arcs.tot_cnt[i], q.arcs.avg_dist[i],
+            q.arcs.s1[i], q.arcs.s2[i]))
+
+
+def write_graph(q: Graph, out: IO[str]) -> None:
+    write_seg(q, out)
+    write_arc(q, out)
+
+
+def parse_sample(name: str) -> Tuple[Optional[str], int]:
+    """PanSN "sample#hap#ctg" -> (sample, hap) or (None, -1)
+    (reference pg_parse_sample, format.c:159-181).
+
+    Field 1 must be fully consumed by strtol and non-negative; an empty
+    field parses as hap 0 (strtol end-pointer quirk)."""
+    if "#" not in name:
+        return None, -1
+    parts = name.split("#")
+    if not parts[0]:
+        return None, -1
+    f1 = parts[1]
+    if f1 == "":
+        return parts[0], 0
+    m = re.fullmatch(r"[ \t\v\f\r\n]*([+-]?[0-9]+)", f1)
+    if not m:
+        return None, -1
+    hap = int(m.group(1))
+    if hap < 0:
+        return None, -1
+    return parts[0], hap
+
+
+def write_walk(q: Graph, out: IO[str]) -> None:
+    """W lines (reference pg_write_walk, format.c:183-225)."""
+    d = q.d
+    for j, g in enumerate(d.genomes):
+        h = g.hits
+        hit_sort(g, by_cm=True)
+        n = len(h)
+        i0 = 0
+        for i in range(1, n + 1):
+            if i == n or h.cid[i] != h.cid[i0]:
+                cid = int(h.cid[i0])
+                sample, hap = parse_sample(g.ctg_names[cid])
+                walk = []
+                lof = []
+                for k in range(i0, i):
+                    if h.flt[k]:
+                        continue
+                    gid = d.prot_gid[h.pid[k]]
+                    walk.append("><"[int(h.rev[k])] + d.gene_name[gid])
+                    lof.append(str(int(h.lof[k])))
+                if walk:
+                    if hap >= 0:
+                        hdr = "W\t%s\t%d" % (sample, hap)
+                    elif g.label:
+                        hdr = "W\t%s\t0" % g.label
+                    else:
+                        hdr = "W\t%d\t0" % j
+                    out.write("%s\t%s\t*\t*\t%s\tlf:B:i,%s\n" % (
+                        hdr, g.ctg_names[cid], "".join(walk), ",".join(lof)))
+                i0 = i
+        hit_sort(g, by_cm=False)

@@ -1,0 +1,278 @@
+"""Host-side PAF ingest.
+
+Streams one miniprot PAF file per genome into the SoA data model. String
+interning and per-record side effects replicate the reference field-by-field
+state machine (read.c:107-262) exactly, including its quirks:
+
+  * gene/protein/contig ids are assigned in first-encounter order
+    (read.c:151-170, 190-196);
+  * a record dropped by the coverage (read.c:182) or identity (read.c:209)
+    gate still registers its gene/protein/contig and still bumps the
+    per-protein rank counter (read.c:170-171);
+  * prot.len is reset per record, so the last parsed record of a protein
+    defines its length (read.c:168, 175);
+  * the adjusted score is score_ori * exp(-m*(div+uncov)) rounded with +.499
+    (read.c:213-216; the reference uses long-double expl — the optional
+    native helper reproduces it bit-exactly, the Python fallback uses
+    double exp).
+
+This layer is I/O- and string-bound, latency-irrelevant next to device
+compute, and deliberately host-side (SURVEY.md §7 design stance).
+"""
+from __future__ import annotations
+
+import gzip
+import math
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.data import DataSet, Genome, HitTable
+from ..options import PgOpt
+from ..util import log_msg
+
+try:  # bit-exact long-double exp helper (native/)
+    from ..native import score_adj_exact as _score_adj_exact
+except Exception:  # pragma: no cover - fallback when extension not built
+    _score_adj_exact = None
+
+_CIGAR_RE = re.compile(rb"(\d+)([A-Za-z=])")
+
+
+def parse_cigar(cg: bytes, rev: int) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """CIGAR -> exon arrays (os, oe relative to cs), span x, frameshift count.
+
+    Mirrors the op semantics of read.c:47-90: N/U/V introns split exons (U/V
+    carry 1/2-bp splice-boundary offsets), M/X/=/D advance 3*l nt, F/G advance
+    l and count as potential loss-of-function; exons are reversed for '-'
+    strand so os/oe are always ascending along the contig.
+    """
+    os_: List[int] = [0]
+    oe_: List[int] = [0]
+    x = 0
+    n_fs = 0
+    for m in _CIGAR_RE.finditer(cg):
+        l = int(m.group(1))
+        op = m.group(2)
+        if op in b"NUV":
+            if op == b"N":
+                st, en = x, x + l
+            elif op == b"U":
+                st, en = x + 1, x + l - 2
+            else:
+                st, en = x + 2, x + l - 1
+            oe_[-1] = st
+            os_.append(en)
+            oe_.append(en)
+            x += l
+        elif op in b"MX=D":
+            x += l * 3
+        elif op in b"FG":
+            x += l
+            n_fs += 1
+    oe_[-1] = x
+    os_a = np.asarray(os_, np.int32)
+    oe_a = np.asarray(oe_, np.int32)
+    if rev:
+        os_a, oe_a = (x - oe_a)[::-1].copy(), (x - os_a)[::-1].copy()
+    return os_a, oe_a, x, n_fs
+
+
+def cal_cm(cs: int, os_: np.ndarray, oe_: np.ndarray) -> int:
+    """Genomic position of the CDS midpoint (reference pg_hit_cal_cm, hit.c:14-27)."""
+    lens = (oe_ - os_).astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    half = int(cum[-1]) >> 1
+    # exon i with cum[i] <= half < cum[i+1]
+    i = int(np.searchsorted(cum, half, side="right")) - 1
+    if i >= len(lens):  # all-empty exon list can't happen for kept hits
+        raise ValueError("empty CDS")
+    # the reference scan also requires half < cum[i]+len_i; with zero-length
+    # exons searchsorted('right') lands past them exactly as the C loop does
+    while lens[i] == 0:
+        i += 1
+    return cs + int(os_[i]) + half - int(cum[i])
+
+
+def read_label(fn: str) -> Optional[str]:
+    """Basename minus .paf/.gz suffixes (reference pg_read_label, read.c:92-105)."""
+    base = fn.rsplit("/", 1)[-1]
+    en = len(base)
+    if base.endswith(".gz"):
+        en -= 3
+    if base[:en].endswith(".paf"):
+        en -= 4
+    if en <= 0:
+        return None
+    return base[:en]
+
+
+def score_adj_round(score_ori: int, coef: float, div: float, uncov: float) -> int:
+    """score_adj = (int)(score_ori * expl(-coef*(div+uncov)) + .499) (read.c:216)."""
+    if _score_adj_exact is not None:
+        return _score_adj_exact(score_ori, coef, div, uncov)
+    return int(score_ori * math.exp(-coef * (div + uncov)) + 0.499)
+
+
+class _GenomeBuilder:
+    """Columnar append buffers for one genome."""
+
+    def __init__(self, label: Optional[str]):
+        self.label = label
+        self.ctg_names: List[str] = []
+        self.ctg_len: List[int] = []
+        self.ctg_id = {}
+        self.rows: List[tuple] = []  # one tuple per hit, HIT column order
+        self.exon_os: List[np.ndarray] = []
+        self.exon_oe: List[np.ndarray] = []
+        self.n_exon = 0
+
+    def finish(self) -> Genome:
+        hits = HitTable.empty(len(self.rows))
+        if self.rows:
+            cols = list(zip(*self.rows))
+            names = ("pid", "qs", "qe", "cid", "mlen", "blen", "lof", "rank",
+                     "score_ori", "score_adj", "n_exon", "off_exon",
+                     "rev", "cs", "cm", "ce")
+            for name, vals in zip(names, cols):
+                hits.set(name, np.asarray(vals, hits.cols[name].dtype))
+        hits.set("pid_dom", np.full(len(self.rows), -1, np.int32))
+        hits.set("pid_dom0", np.full(len(self.rows), -1, np.int32))
+        exon_os = (np.concatenate(self.exon_os) if self.exon_os
+                   else np.zeros(0, np.int32))
+        exon_oe = (np.concatenate(self.exon_oe) if self.exon_oe
+                   else np.zeros(0, np.int32))
+        return Genome(self.label, self.ctg_names,
+                      np.asarray(self.ctg_len, np.int64), hits,
+                      exon_os, exon_oe)
+
+
+def _open(fn: str):
+    if fn == "-":
+        import sys
+        return sys.stdin.buffer
+    if fn.endswith(".gz"):
+        return gzip.open(fn, "rb")
+    return open(fn, "rb")
+
+
+def read_paf(opt: PgOpt, d: DataSet, fn: str) -> Genome:
+    """Parse one PAF file into a new Genome appended to `d` (read.c:107-242).
+
+    Only parsing + interning; the per-genome filter postpass (read.c:243-260)
+    is run by the pipeline driver so it can target host or device engines.
+    """
+    import os
+    import sys
+    if fn != "-" and not os.path.exists(fn):
+        # the reference silently returns -1 without creating a genome
+        # (read.c:117-118); we at least warn
+        sys.stderr.write("[W::pg_read_paf] failed to open %r; skipped\n" % fn)
+        return None
+    gb = _GenomeBuilder(read_label(fn))
+    delim = opt.gene_delim.encode()
+    excl = opt.excl
+    incl = opt.incl
+    pref = opt.preferred
+    rank_cnt = {}  # per-file per-protein occurrence counter (read.c:170)
+    n_tot = 0
+
+    with _open(fn) as fp:
+        for line in fp:
+            line = line.rstrip(b"\n").rstrip(b"\r")
+            # NB: no blank-line skip — the reference pushes empty lines through
+            # the field loop, interning a ""-named gene/protein (read.c:128-171)
+            n_tot += 1
+            fields = line.split(b"\t")
+            # field 0: query name -> gene:protein split at first delimiter
+            qname = fields[0]
+            di = qname.find(delim)
+            gene_name_b = qname[:di] if di >= 0 else qname
+            qname_s = qname.decode()
+            gene_name = gene_name_b.decode()
+            if excl and (qname_s in excl or gene_name in excl):
+                continue
+            gid = d.add_gene(gene_name)
+            d.gene_preferred[gid] = 1 if (pref and gene_name in pref) else 0
+            d.gene_included[gid] = 1 if (incl and gene_name in incl) else 0
+            pid = d.add_prot(qname_s, gid)
+            d.prot_gid[pid] = gid
+            d.prot_len[pid] = 0  # reset per record (read.c:168)
+            rank = rank_cnt.get(qname_s, -1) + 1
+            rank_cnt[qname_s] = rank
+            if len(fields) < 2:
+                continue
+            # field 1: query length
+            qlen = int(fields[1])
+            d.prot_len[pid] = qlen
+            if d.gene_len[gid] < qlen:
+                d.gene_len[gid] = qlen
+            if len(fields) < 11:
+                continue
+            qs = int(fields[2])
+            qe = int(fields[3])
+            if qe - qs < qlen * opt.min_prot_ratio:  # coverage gate (read.c:182)
+                continue
+            strand = fields[4]
+            if strand not in (b"+", b"-"):
+                continue
+            rev = 1 if strand == b"-" else 0
+            # field 5/6: contig name / length
+            ctg = fields[5].decode()
+            cid = gb.ctg_id.get(ctg, -1)
+            if cid < 0:
+                cid = len(gb.ctg_names)
+                gb.ctg_id[ctg] = cid
+                gb.ctg_names.append(ctg)
+                gb.ctg_len.append(0)
+                if ctg not in d.ctg_id:
+                    d.ctg_id[ctg] = len(d.ctg_id)
+            gb.ctg_len[cid] = int(fields[6])
+            cs = int(fields[7])
+            ce = int(fields[8])
+            mlen = int(fields[9])
+            blen = int(fields[10])
+            if mlen < blen * opt.min_prot_iden:  # identity gate (read.c:209)
+                continue
+            # tags (fields 12+)
+            score_ori = 0
+            score_adj = 0
+            n_fs_tag = -1
+            n_stop_tag = -1
+            exon_arrays = None
+            cig_fs = 0
+            for f in fields[12:]:
+                if f.startswith(b"ms:i:"):
+                    div = 1.0 - mlen / blen
+                    uncov = 1.0 - (qe - qs) / qlen
+                    score_ori = int(f[5:])
+                    score_adj = score_adj_round(score_ori, opt.score_adj_coef,
+                                                div, uncov)
+                elif f.startswith(b"fs:i:"):
+                    n_fs_tag = int(f[5:])
+                elif f.startswith(b"st:i:"):
+                    n_stop_tag = int(f[5:])
+                elif f.startswith(b"cg:Z:"):
+                    os_a, oe_a, x, cig_fs = parse_cigar(f[5:], rev)
+                    assert x == ce - cs, "CIGAR span != ce-cs (read.c:75)"
+                    exon_arrays = (os_a, oe_a)
+            if exon_arrays is None:
+                continue  # n_exon < 1: record dropped (read.c:229)
+            os_a, oe_a = exon_arrays
+            lof_tags = (n_fs_tag if n_fs_tag > 0 else 0) + \
+                       (n_stop_tag if n_stop_tag > 0 else 0)
+            lof = max(cig_fs, lof_tags)
+            off_exon = gb.n_exon
+            gb.exon_os.append(os_a)
+            gb.exon_oe.append(oe_a)
+            gb.n_exon += len(os_a)
+            cm = cal_cm(cs, os_a, oe_a)
+            gb.rows.append((pid, qs, qe, cid, mlen, blen, lof, rank,
+                            score_ori, score_adj, len(os_a), off_exon,
+                            rev, cs, cm, ce))
+
+    g = gb.finish()
+    d.genomes.append(g)
+    g._n_tot_records = n_tot  # for the read-stage log line
+    return g

@@ -1,0 +1,176 @@
+"""Pseudogene flagging, isoform selection and protein-level reductions.
+
+Host oracle implementations with exact reference semantics. The cross-genome
+stages (joint pseudo, representative, score cap) are elementwise integer
+reductions keyed by protein id — on the device engine these become
+segment-sums psum'd over the genome mesh axis (SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.data import DataSet, Genome
+from ..options import PG_F_DROP_SGL_EXON, PgOpt
+
+U64 = np.uint64
+MASK32 = (1 << 32) - 1
+
+
+def flag_pseudo(d: DataSet, g: Genome) -> int:
+    """Per-genome single-vs-multi-exon pseudogene flagging
+    (reference pg_flag_pseudo, hit.c:66-105).
+
+    Hits of one protein are grouped; if the group mixes multi-exon hits with
+    single-exon (or <= half the exon count) hits, the latter are flagged and
+    the first surviving multi-exon hit is promoted to rank 0.
+    """
+    h = g.hits
+    n = len(h)
+    if n == 0:
+        return 0
+    # stable (pid, rank) order, same permutation as the reference radix sort
+    order = np.lexsort((h.rank, h.pid))
+    pid_s = h.pid[order]
+    n_pseudo = 0
+    i0 = 0
+    for i in range(1, n + 1):
+        if i == n or pid_s[i] != pid_s[i0]:
+            grp = order[i0:i]
+            ne = h.n_exon[grp]
+            max_n = int(ne.max())
+            min_n = int(ne.min())
+            if max_n > 1 and (min_n == 1 or min_n * 2 <= max_n):
+                is_p = (ne == 1) | (ne * 2 <= max_n)
+                h.pseudo[grp[is_p]] = 1
+                n_pseudo += int(is_p.sum())
+                j1 = int(np.flatnonzero(~is_p)[0])
+                if h.rank[grp[j1]] > 0:  # promote first multi-exon to rank 0
+                    h.rank[grp[:j1]] += 1
+                    h.rank[grp[j1]] = 0
+            i0 = i
+    return n_pseudo
+
+
+def flt_subopt_isoform(d: DataSet, g: Genome) -> int:
+    """Keep only the best-scoring rank-0 isoform per gene
+    (reference pg_flt_subopt_isoform, hit.c:107-128).
+
+    best[gid] packs (score_adj << 32 | pid); strictly-greater updates mean the
+    first hit in current table order wins ties.
+    """
+    h = g.hits
+    prot_gid = np.asarray(d.prot_gid, np.int64)
+    best = np.zeros(d.n_gene, np.uint64)
+    for i in range(len(h)):
+        if h.flt[i] or h.rank[i] > 0:
+            continue
+        gid = int(prot_gid[h.pid[i]])
+        if int(h.score_adj[i]) > int(best[gid] >> U64(32)):
+            best[gid] = U64((int(h.score_adj[i]) << 32) | int(h.pid[i]))
+    n_flt = 0
+    gid_all = prot_gid[h.pid]
+    for i in range(len(h)):
+        if h.flt[i]:
+            continue
+        if int(h.pid[i]) != int(np.int32(best[gid_all[i]] & U64(MASK32))):
+            h.flt[i] = 1
+            h.flt_iso_sub_self[i] = 1
+            n_flt += 1
+    return n_flt
+
+
+def flt_chain_shadow(d: DataSet, g: Genome) -> int:
+    """Drop hits whose read-time dominator protein was itself fully removed by
+    the overlap-isoform filter (reference pg_flt_chain_shadow, hit.c:130-146)."""
+    h = g.hits
+    removed = np.ones(d.n_prot, bool)
+    keep_pids = h.pid[h.flt_iso_ov == 0]
+    removed[keep_pids] = False
+    dom = h.pid_dom0
+    mask = (dom >= 0) & removed[np.clip(dom, 0, d.n_prot - 1)]
+    h.flt[mask] = 1
+    h.flt_chain[mask] = 1
+    return int(mask.sum())
+
+
+def flag_pseudo_joint(opt: PgOpt, d: DataSet) -> int:
+    """Cross-genome pseudogene flagging (pg_flag_pseudo_joint, hit.c:148-187).
+
+    Per protein accumulates (count, score sum) split by single/multi-exon over
+    rank-0 unfiltered hits of all genomes — a psum-able reduction — then
+    flags single-exon hits of proteins that are dominantly multi-exon.
+    """
+    n_prot = d.n_prot
+    c = np.zeros((n_prot, 2), np.int64)
+    s = np.zeros((n_prot, 2), np.int64)
+    for g in d.genomes:
+        h = g.hits
+        m = (h.flt == 0) & (h.rank == 0)
+        w = (h.n_exon[m] != 1).astype(np.int64)
+        np.add.at(c, (h.pid[m], w), 1)
+        np.add.at(s, (h.pid[m], w), h.score_ori[m].astype(np.int64))
+    thresh = d.n_genome * opt.min_vertex_ratio
+    drop_sgl = bool(opt.flag & PG_F_DROP_SGL_EXON)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg1 = s[:, 1].astype(np.float64) / c[:, 1]
+        avg0 = s[:, 0].astype(np.float64) / c[:, 0]
+        ratio = avg1 / avg0
+    n_pseudo = 0
+    for g in d.genomes:
+        h = g.hits
+        base = (h.flt == 0) & (h.pseudo == 0) & (h.n_exon == 1)
+        c1 = c[h.pid, 1]
+        cond1 = base & (c1 > 0) & (c1 >= thresh) & (ratio[h.pid] >= 0.99)
+        cond2 = np.zeros_like(cond1)
+        if drop_sgl:
+            cond2 = base & ~cond1 & ((c1 == 0) | (c1 <= thresh))
+        mark = cond1 | cond2
+        h.pseudo[mark] = 1
+        n_pseudo += int(mark.sum())
+    return n_pseudo
+
+
+def flag_representative(d: DataSet) -> None:
+    """Pick each gene's representative isoform by average rank-0 adjusted
+    score across genomes (reference pg_flag_representative, hit.c:189-225)."""
+    n_prot = d.n_prot
+    z = np.zeros(n_prot, np.uint64)  # sum(score_adj)<<32 | count, wraps as C
+    for g in d.genomes:
+        h = g.hits
+        m = (h.rank == 0) & (h.flt == 0)
+        add = h.score_adj[m].astype(np.int64).astype(np.uint64)
+        np.add.at(z, h.pid[m], (add << U64(32)) + U64(1))
+        h.rep[:] = 0
+    cnt = (z & U64(MASK32)).astype(np.int64)
+    ssum = (z >> U64(32)).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg = np.where(cnt > 0, (ssum / np.maximum(cnt, 1) + 0.499), 0.0)
+    d.prot_n = cnt.tolist()
+    d.prot_avg_score_adj = avg.astype(np.int64).astype(np.int32).tolist()
+    # stable ascending sort by z; descending scan => among equal z the highest
+    # pid wins (vertex.c counterpart relies on this order)
+    order = np.argsort(z, kind="stable")
+    d.gene_rep_pid = [-1] * d.n_gene
+    prot_rep = np.zeros(n_prot, np.uint8)
+    for i in range(n_prot - 1, -1, -1):
+        pid = int(order[i])
+        gid = d.prot_gid[pid]
+        if d.gene_rep_pid[gid] < 0:
+            d.gene_rep_pid[gid] = pid
+            prot_rep[pid] = 1
+    d.prot_rep = prot_rep.tolist()
+    for g in d.genomes:
+        h = g.hits
+        h.rep[:] = prot_rep[h.pid]
+
+
+def cap_score_dom(d: DataSet) -> None:
+    """Cap score_dom at the protein's max score_ori across genomes
+    (reference pg_cap_score_dom, hit.c:227-247)."""
+    mx = np.zeros(d.n_prot, np.int32)
+    for g in d.genomes:
+        np.maximum.at(mx, g.hits.pid, g.hits.score_ori)
+    d.prot_max_score_ori = mx.tolist()
+    for g in d.genomes:
+        h = g.hits
+        h.set("score_dom", np.minimum(h.score_dom, mx[h.pid]))

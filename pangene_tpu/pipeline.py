@@ -1,0 +1,77 @@
+"""End-to-end pipeline driver mirroring the reference main flow
+(main.c:117-138): read all PAFs (with per-genome filter postpass),
+post-process, build graph, emit GFA/BED.
+
+The per-genome compute stages are dispatched through an engine: "host"
+(exact NumPy oracle) or "jax" (jit/vmap device pipeline, sharded over the
+genome mesh axis when multiple devices are available).
+"""
+from __future__ import annotations
+
+import sys
+from typing import IO, List, Optional
+
+from .core.data import DataSet, Genome
+from .graph import build as build_mod
+from .graph.graphdata import Graph
+from .graph.post import post_process
+from .io import bed as bed_mod
+from .io import gfa_write
+from .io import paf as paf_mod
+from .options import (PG_F_WRITE_BED_FLAG, PG_F_WRITE_BED_RAW,
+                      PG_F_WRITE_BED_WALK, PG_F_WRITE_NO_WALK, PgOpt)
+from .ops import pseudo as pseudo_ops
+from .ops import sweep
+from .ops.sort import hit_sort
+from .util import log_msg
+
+
+def read_postpass(opt: PgOpt, d: DataSet, g: Genome, n_tot: int) -> None:
+    """Per-genome filter postpass run right after parsing one PAF
+    (reference read.c:243-260)."""
+    n_pseudo = pseudo_ops.flag_pseudo(d, g)
+    h = g.hits
+    h.flt[h.pseudo == 1] = 1
+    hit_sort(g, by_cm=False)
+    sweep.shadow(opt, d, g, cal_dom_sc=True)
+    # snapshot read-time dominators, then reset (read.c:249-253)
+    h.set("pid_dom0", h.pid_dom.copy())
+    h.pid_dom[:] = -1
+    h.shadow[:] = 0
+    n_flt_ov_iso = sweep.flt_ov_isoform(opt, d, g)
+    n_flt_chain = pseudo_ops.flt_chain_shadow(d, g)
+    n_flt_subopt = pseudo_ops.flt_subopt_isoform(d, g)
+    log_msg("pg_read_paf", "[%d] %s: %d hits parsed, %d kept and "
+            "%d+%d+%d+%d filtered", d.n_genome - 1, g.label or "?",
+            n_tot, g.n_hit, n_pseudo, n_flt_ov_iso, n_flt_chain, n_flt_subopt)
+
+
+def read_all(opt: PgOpt, files: List[str]) -> DataSet:
+    d = DataSet.new()
+    for fn in files:
+        g = paf_mod.read_paf(opt, d, fn)
+        if g is None:
+            continue
+        read_postpass(opt, d, g, getattr(g, "_n_tot_records", g.n_hit))
+    return d
+
+
+def run(opt: PgOpt, files: List[str], out: Optional[IO[str]] = None) -> Graph:
+    """Full run; returns the final Graph (None graph fields if --bed=raw)."""
+    out = out or sys.stdout
+    d = read_all(opt, files)
+    post_process(opt, d)
+    if opt.flag & PG_F_WRITE_BED_RAW:
+        bed_mod.write_bed(d, is_walk=False, out=out)
+        return Graph(d)
+    q = Graph(d)
+    build_mod.graph_gen(opt, q)
+    if opt.flag & PG_F_WRITE_BED_WALK:
+        bed_mod.write_bed(d, is_walk=True, out=out)
+    elif opt.flag & PG_F_WRITE_BED_FLAG:
+        bed_mod.write_bed(d, is_walk=False, out=out)
+    else:
+        gfa_write.write_graph(q, out)
+        if not (opt.flag & PG_F_WRITE_NO_WALK):
+            gfa_write.write_walk(q, out)
+    return q

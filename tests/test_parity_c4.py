@@ -1,0 +1,42 @@
+"""Golden-file integration parity on the reference's C4/RCCX fixture.
+
+The checked-in golden files were produced by the reference binary
+(lh3/pangene v1.1-r231, gcc -O2) with the documented command (README.md:13);
+byte-identical output is the acceptance gate (BASELINE.md north star).
+"""
+import io
+
+import pytest
+
+from pangene_tpu import pipeline
+from pangene_tpu.cli import parse_args
+from pangene_tpu.io import bed as bed_mod
+from pangene_tpu.options import PgOpt
+
+
+def run_capture(args, files):
+    opt, fl = parse_args(args + files)
+    out = io.StringIO()
+    pipeline.run(opt, fl, out=out)
+    return out.getvalue()
+
+
+def test_c4_gfa_bit_identical(c4_pafs, golden_dir):
+    got = run_capture([], c4_pafs)
+    assert got == (golden_dir / "C4.gfa").read_text()
+
+
+@pytest.mark.parametrize("mode", ["raw", "flag", "walk"])
+def test_c4_bed_parity(c4_pafs, golden_dir, mode):
+    got = run_capture(["--bed=%s" % mode], c4_pafs)
+    assert got == (golden_dir / ("C4.bed.%s" % mode)).read_text()
+
+
+@pytest.mark.parametrize("name,args", [
+    ("J", ["-J"]), ("S", ["-S"]), ("E", ["-E"]), ("F", ["-F"]),
+    ("a2", ["-a", "2"]), ("p03", ["-p", "0.3"]), ("f09", ["-f", "0.9"]),
+    ("orisc", ["--ori-sc"]),
+])
+def test_c4_option_parity(c4_pafs, golden_dir, name, args):
+    got = run_capture(args, c4_pafs)
+    assert got == (golden_dir / ("C4.%s.gfa" % name)).read_text()
