@@ -95,6 +95,9 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
             opt.flag |= PG_F_ORI_FOR_BRANCH
         elif a == "--engine":
             opt.engine = need_arg()
+            if opt.engine not in ("host", "host-ref", "jax", "sharded"):
+                raise SystemExit("ERROR: unknown --engine %r; expected "
+                                 "host|host-ref|jax|sharded" % opt.engine)
         elif a == "--devices":
             opt.n_devices = int(need_arg())
         elif a.startswith("-") and len(a) >= 2 and a != "-":

@@ -8,7 +8,7 @@ import numpy as np
 from ..core.data import DataSet
 from ..options import PG_F_NO_JOINT_PSEUDO, PgOpt
 from ..ops import pseudo as pseudo_ops
-from ..ops import sweep
+from ..ops import dispatch as sweep
 from ..util import log_msg, timestamp
 from .. import util
 

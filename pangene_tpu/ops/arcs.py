@@ -21,7 +21,7 @@ import numpy as np
 from ..core.data import DataSet, Genome
 from ..graph.graphdata import ArcTable, Graph
 from ..options import PgOpt
-from . import sweep
+from . import dispatch as sweep
 from .sort import hit_sort
 
 
@@ -143,9 +143,21 @@ def merge_arcs(per_genome: list) -> ArcTable:
 def gen_arc(opt: PgOpt, g: Graph) -> None:
     """Full arc (re)generation pass over all genomes (pg_gen_arc, graph.c:87-177).
 
-    Per genome: re-shadow, sort by cm, walk-extract, per-genome dedupe; then
-    the global merge. Segment n_genome/tot_cnt counters are refreshed here.
+    engine == "sharded" runs the fused device round step over the genome
+    mesh (parallel/stacked.py); otherwise a per-genome loop with the sweep
+    engine picked by dispatch. Identical outputs either way.
     """
+    if opt.engine == "sharded":
+        from ..parallel.stacked import gen_arc_sharded
+        gen_arc_sharded(opt, g)
+        return
+    gen_arc_loop(opt, g)
+
+
+def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
+    """Per-genome-loop gen_arc: re-shadow, sort by cm, walk-extract,
+    per-genome dedupe; then the global merge. Segment n_genome/tot_cnt
+    counters are refreshed here."""
     d = g.d
     use_ori = opt.use_ori_for_branch
     g.seg_n_genome = np.zeros(g.n_seg, np.int32)

@@ -1,0 +1,345 @@
+"""Genome-sharded stacked execution of the graph-round inner loop.
+
+This is the scale path (SURVEY.md §2.4, §7 M6): all genomes' hit tables are
+stacked into [G, H] padded device arrays sharded over the ('g',) mesh axis.
+One jitted shard_map step fuses, per genome: the shadow sweep, the stable
+(cid, cm) sort, the gene-walk adjacency extraction (segmented shift-compare)
+and the per-genome arc dedupe (sort + segment reduce). Segment occurrence
+counters are reduced across the genome axis with psum; per-genome deduped
+arc lists return to the host for the exact global merge (all averaging in
+IEEE f64 with the reference's +.499 rounding, graph.c:141,170-172 — TPU f64
+is emulated and not bit-safe for that).
+
+The host DataSet stays the source of truth: after each device round the host
+applies the *same* stable permutations (cm then cs sort) to its tables, so
+tie orders track the reference's physical re-sorts exactly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.data import DataSet
+from ..options import PgOpt
+from ..ops import device as dev
+from ..ops.device_engine import hash_u32_np
+from ..ops.overlap import cds_len_all
+from .mesh import make_mesh
+
+KEY_B = 44  # composite sort key: cid << KEY_B | coord
+
+
+# ---------------------------------------------------------------------------
+# per-genome device step (vmapped over the local genome shard)
+# ---------------------------------------------------------------------------
+
+def _gather_exons(off, n_ex, cs, ex_os, ex_oe, K: int):
+    kk = jnp.arange(K, dtype=jnp.int64)[None, :]
+    idx = off.astype(jnp.int64)[:, None] + kk
+    emask = kk < n_ex.astype(jnp.int64)[:, None]
+    idxc = jnp.clip(idx, 0, ex_os.shape[0] - 1)
+    abs_os = jnp.where(emask, ex_os[idxc].astype(jnp.int64) + cs[:, None], 0)
+    abs_oe = jnp.where(emask, ex_oe[idxc].astype(jnp.int64) + cs[:, None], 0)
+    return abs_os, abs_oe
+
+
+def _genome_round(cols: Dict[str, jnp.ndarray], ex_os, ex_oe, g2s,
+                  min_ov_ratio, *, W: int, K: int, check_strand: bool,
+                  use_ori: bool, n_gene: int):
+    H = cols["cid"].shape[0]
+    valid = cols["valid"]
+    iota = jnp.arange(H, dtype=jnp.int32)
+
+    # 1. shadow sweep on the cs-sorted state
+    abs_os, abs_oe = _gather_exons(cols["off_exon"], cols["n_exon"],
+                                   cols["cs"], ex_os, ex_oe, K)
+    sc = dev.SweepCols(
+        valid=valid, cid=cols["cid"], cs=cols["cs"], ce=cols["ce"],
+        flt=cols["flt"] != 0, rev=cols["rev"].astype(jnp.int32),
+        rank=cols["rank"], gid=cols["gid"], pscore=cols["pscore"],
+        weak_br=cols["weak_br"].astype(jnp.int32), cds_len=cols["cds_len"],
+        ex_os=abs_os, ex_oe=abs_oe)
+    marks, b_score, b_other, b_ov, amb = dev.shadow_kernel(
+        sc, min_ov_ratio, W=W, check_strand=check_strand)
+    nonflt = cols["flt"] == 0
+    evaluated = nonflt & (iota >= 1) & valid
+    shadow = jnp.where(evaluated, marks, (cols["shadow"] != 0) | marks)
+    shadow = shadow.astype(jnp.uint8)
+
+    # 2. stable (cid, cm) sort
+    key = (cols["cid"].astype(jnp.int64) << KEY_B) | cols["cm"]
+    key = jnp.where(valid, key, jnp.int64(2**62))
+    perm = jnp.argsort(key, stable=True)
+
+    def g(name):
+        return cols[name][perm]
+
+    kept = (g("flt") == 0) & (shadow[perm] == 0) & valid[perm]
+    sid = g2s[jnp.clip(g("gid"), 0, n_gene - 1)].astype(jnp.int64)
+    w = (sid << 1) | g("rev").astype(jnp.int64)
+    dom_gid = g("dom_gid")
+    use_ori_vec = (use_ori
+                   | (g("score_ori") > g("score_dom"))
+                   | (dom_gid < 0)
+                   | (g2s[jnp.clip(dom_gid, 0, n_gene - 1)] >= 0))
+    scsel = jnp.where(use_ori_vec, g("score_ori"), g("score_dom")) \
+        .astype(jnp.int64)
+    cm_s = g("cm")
+    cid_s = g("cid")
+
+    # 3. walk: previous kept hit via inclusive running max of kept indices
+    idxk = jnp.where(kept, iota, -1)
+    run = lax.associative_scan(jnp.maximum, idxk)
+    prev = jnp.concatenate([jnp.array([-1], jnp.int32), run[:-1]])
+    prevc = jnp.clip(prev, 0, H - 1)
+    pair_ok = kept & (prev >= 0) & (cid_s[prevc] == cid_s)
+    v = w[prevc]
+    dist = (cm_s - cm_s[prevc]).astype(jnp.int32).astype(jnp.int64)
+    s1 = scsel[prevc]
+    s2 = scsel
+    x_fwd = (v.astype(jnp.uint64) << jnp.uint64(32)) | w.astype(jnp.uint64)
+    x_rev = ((w ^ 1).astype(jnp.uint64) << jnp.uint64(32)) \
+        | (v ^ 1).astype(jnp.uint64)
+    ax = jnp.concatenate([x_fwd, x_rev])
+    ad = jnp.concatenate([dist, dist])
+    a1 = jnp.concatenate([s1, s2])
+    a2 = jnp.concatenate([s2, s1])
+    avalid = jnp.concatenate([pair_ok, pair_ok])
+
+    # 4. per-genome dedupe: sort by x, segment-reduce
+    akey = jnp.where(avalid, ax, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    aperm = jnp.argsort(akey, stable=True)
+    xs = akey[aperm]
+    vs = avalid[aperm]
+    ds = jnp.where(vs, ad[aperm], 0)
+    s1s = jnp.where(vs, a1[aperm], 0).astype(jnp.int32)
+    s2s = jnp.where(vs, a2[aperm], 0).astype(jnp.int32)
+    newgrp = jnp.concatenate([jnp.array([True]), xs[1:] != xs[:-1]])
+    gidx = jnp.cumsum(newgrp) - 1
+    n2 = xs.shape[0]
+    cnt = jax.ops.segment_sum(vs.astype(jnp.int32), gidx, num_segments=n2)
+    dsum = jax.ops.segment_sum(ds, gidx, num_segments=n2)
+    m1 = jax.ops.segment_max(jnp.where(vs, s1s, jnp.int32(-2**31 + 1)),
+                             gidx, num_segments=n2)
+    m2 = jax.ops.segment_max(jnp.where(vs, s2s, jnp.int32(-2**31 + 1)),
+                             gidx, num_segments=n2)
+    uniq_x = jax.ops.segment_max(jnp.where(vs, xs, jnp.uint64(0)),
+                                 gidx, num_segments=n2)
+
+    # 5. seg occurrence counters (gene-indexed, psum'd by the caller)
+    sidc = jnp.clip(sid, 0, n_gene - 1).astype(jnp.int32)
+    cnts = jnp.zeros(n_gene, jnp.int32).at[sidc].add(
+        kept.astype(jnp.int32), mode="drop")
+
+    return (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2, cnts, amb)
+
+
+# ---------------------------------------------------------------------------
+# sharded step over the genome mesh axis
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "K", "check_strand", "use_ori",
+                                    "n_gene", "mesh"))
+def round_step(cols, ex_os, ex_oe, g2s, min_ov_ratio, *, W, K, check_strand,
+               use_ori, n_gene, mesh):
+    """One graph-round device step over all genomes: [G, ...] sharded on 'g'."""
+    def per_shard(cols_l, ex_os_l, ex_oe_l, g2s_r, ratio_r):
+        fn = functools.partial(_genome_round, W=W, K=K,
+                               check_strand=check_strand, use_ori=use_ori,
+                               n_gene=n_gene)
+        outs = jax.vmap(lambda c, eo, ee: fn(c, eo, ee, g2s_r, ratio_r)
+                        )(cols_l, ex_os_l, ex_oe_l)
+        (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2, cnts, amb) = outs
+        tot_cnt = lax.psum(cnts.sum(0), "g")
+        n_genome = lax.psum((cnts > 0).astype(jnp.int32).sum(0), "g")
+        amb_any = lax.psum(amb.any().astype(jnp.int32), "g")
+        return (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2,
+                tot_cnt, n_genome, amb_any)
+
+    gs = P("g")
+    rep = P()
+    return shard_map(
+        per_shard, mesh=mesh,
+        in_specs=({k: gs for k in cols}, gs, gs, rep, rep),
+        out_specs=(gs, gs, gs, gs, gs, gs, gs, gs, rep, rep, rep),
+        check_rep=False,
+    )(cols, ex_os, ex_oe, g2s, min_ov_ratio)
+
+
+STACK_COLS_I32 = ("cid", "rank", "gid", "dom_gid", "score_ori", "score_dom",
+                  "n_exon", "off_exon", "cds_len")
+STACK_COLS_U8 = ("flt", "shadow", "rev", "weak_br")
+STACK_COLS_I64 = ("cs", "ce", "cm")
+
+
+def build_stacked(d: DataSet, H: int, E: int) -> Tuple[dict, np.ndarray, np.ndarray]:
+    """Stack per-genome tables into padded [G, H] / [G, E] arrays."""
+    G = d.n_genome
+    prot_gid = np.asarray(d.prot_gid, np.int32)
+    pref = np.asarray(d.gene_preferred, np.uint8)
+    cols = {k: np.zeros((G, H), np.int32) for k in STACK_COLS_I32}
+    cols.update({k: np.zeros((G, H), np.uint8) for k in STACK_COLS_U8})
+    cols.update({k: np.zeros((G, H), np.int64) for k in STACK_COLS_I64})
+    cols["pscore"] = np.zeros((G, H), np.uint64)
+    cols["valid"] = np.zeros((G, H), bool)
+    cols["cid"][:] = dev.PAD_CID
+    cols["ce"][:] = -1
+    cols["dom_gid"][:] = -1
+    cols["cds_len"][:] = 1
+    ex_os = np.zeros((G, E), np.int32)
+    ex_oe = np.zeros((G, E), np.int32)
+    for j, g in enumerate(d.genomes):
+        h = g.hits
+        n = len(h)
+        cols["valid"][j, :n] = True
+        gid = prot_gid[h.pid]
+        for k in STACK_COLS_I32 + STACK_COLS_U8 + STACK_COLS_I64:
+            if k == "gid":
+                cols[k][j, :n] = gid
+            elif k == "dom_gid":
+                dg = np.where(h.pid_dom0 >= 0,
+                              prot_gid[np.clip(h.pid_dom0, 0, None)], -1)
+                cols[k][j, :n] = dg
+            elif k == "cds_len":
+                cols[k][j, :n] = cds_len_all(g)
+            else:
+                cols[k][j, :n] = h.cols[k]
+        hashes = hash_u32_np(h.pid)
+        cols["pscore"][j, :n] = (
+            (h.score_adj.astype(np.int64).astype(np.uint64) << np.uint64(33))
+            | (pref[gid].astype(np.uint64) << np.uint64(32))
+            | hashes.astype(np.uint64))
+        ne = len(g.exon_os)
+        ex_os[j, :ne] = g.exon_os
+        ex_oe[j, :ne] = g.exon_oe
+    return cols, ex_os, ex_oe
+
+
+def gen_arc_sharded(opt: PgOpt, q) -> None:
+    """Sharded pg_gen_arc: device round step + exact host merge.
+
+    Byte-equivalent to ops/arcs.gen_arc; shard-count independent because all
+    averaging happens on host from exact integer sums.
+    """
+    from ..ops import arcs as arcs_host
+    from ..ops.sort import hit_sort
+
+    d = q.d
+    mesh = make_mesh(opt.n_devices)
+    G = d.n_genome
+    H = dev.next_pow2(max((g.n_hit for g in d.genomes), default=1))
+    E = dev.next_pow2(max((len(g.exon_os) for g in d.genomes), default=1))
+    K = dev.next_pow2(max((int(g.hits.n_exon.max(initial=1))
+                           for g in d.genomes), default=1), lo=2)
+    W = 1
+    for g in d.genomes:
+        if g.n_hit:
+            W = max(W, dev.band_width(g.hits.cid, np.asarray(g.hits.cs),
+                                      np.asarray(g.hits.ce)))
+    W = dev.next_pow2(W, lo=2)
+    W = min(W, H)
+    Gp = ((G + mesh.devices.size - 1) // mesh.devices.size) * mesh.devices.size
+
+    cols, ex_os, ex_oe = build_stacked(d, H, E)
+    if Gp != G:  # pad the genome axis
+        for k in cols:
+            pad = np.zeros((Gp - G,) + cols[k].shape[1:], cols[k].dtype)
+            if k == "cid":
+                pad[:] = dev.PAD_CID
+            cols[k] = np.concatenate([cols[k], pad])
+        ex_os = np.concatenate([ex_os, np.zeros((Gp - G, E), np.int32)])
+        ex_oe = np.concatenate([ex_oe, np.zeros((Gp - G, E), np.int32)])
+
+    outs = round_step({k: jnp.asarray(v) for k, v in cols.items()},
+                      jnp.asarray(ex_os), jnp.asarray(ex_oe),
+                      jnp.asarray(q.g2s), jnp.float64(opt.min_ov_ratio),
+                      W=W, K=K, check_strand=opt.check_strand,
+                      use_ori=opt.use_ori_for_branch, n_gene=d.n_gene,
+                      mesh=mesh)
+    (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2,
+     tot_cnt, n_genome, amb_any) = [np.asarray(o) for o in outs]
+
+    if int(amb_any) > 0:  # float-predicate ambiguity: exact host fallback
+        arcs_host.gen_arc_loop(opt, q)
+        return
+
+    # apply per-genome results to host tables + the same physical re-sorts
+    per_genome = []
+    for j, g in enumerate(d.genomes):
+        h = g.hits
+        n = len(h)
+        nonflt = h.flt == 0
+        h.set("shadow", shadow[j, :n])
+        # pid_dom refresh like the reference final loop (dominator argmax)
+        has_dom = nonflt & (b_score[j, :n] > 0)
+        other = np.clip(b_other[j, :n], 0, max(n - 1, 0))
+        pid_dom = np.where(nonflt, -1, h.pid_dom)
+        pid_dom = np.where(has_dom, h.pid[other], pid_dom)
+        h.set("pid_dom", pid_dom.astype(np.int32))
+        hit_sort(g, by_cm=True)
+        hit_sort(g, by_cm=False)
+        sel = cnt[j] > 0
+        per_genome.append((uniq_x[j][sel], cnt[j][sel].astype(np.int32),
+                           (dsum[j][sel].astype(np.float64) / cnt[j][sel]
+                            + 0.499).astype(np.int64).astype(np.int32),
+                           m1[j][sel], m2[j][sel]))
+    if q.n_seg:
+        q.seg_tot_cnt = tot_cnt[:q.n_seg].astype(np.int32)
+        q.seg_n_genome = n_genome[:q.n_seg].astype(np.int32)
+    q.arcs = arcs_host.merge_arcs(per_genome)
+
+
+# ---------------------------------------------------------------------------
+# cross-genome reductions (post-process): psum'd id-indexed accumulators
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_prot", "mesh"))
+def reduction_step(pid, score_ori, score_adj, n_exon, rank, flt, valid, *,
+                   n_prot, mesh):
+    """Sharded protein-keyed reductions feeding pg_cap_score_dom /
+    pg_flag_representative / pg_flag_pseudo_joint (hit.c:148-247).
+
+    Inputs are [G, H] sharded on 'g'; outputs are replicated [n_prot]
+    tensors: max score_ori, (count, score sums) split single/multi-exon for
+    rank-0 unfiltered hits, and representative (sum score_adj, count).
+    """
+    def per_shard(pid_l, so_l, sa_l, ne_l, rk_l, flt_l, va_l):
+        pidc = jnp.clip(pid_l, 0, n_prot - 1).reshape(-1)
+        va = va_l.reshape(-1)
+        so = so_l.reshape(-1)
+        sa = sa_l.reshape(-1).astype(jnp.int64)
+        multi = (ne_l.reshape(-1) != 1)
+        r0 = (rk_l.reshape(-1) == 0) & (flt_l.reshape(-1) == 0) & va
+        max_so = jnp.zeros(n_prot, jnp.int32).at[pidc].max(
+            jnp.where(va, so, 0), mode="drop")
+        cnt0 = jnp.zeros(n_prot, jnp.int64).at[pidc].add(
+            (r0 & ~multi).astype(jnp.int64), mode="drop")
+        cnt1 = jnp.zeros(n_prot, jnp.int64).at[pidc].add(
+            (r0 & multi).astype(jnp.int64), mode="drop")
+        sum0 = jnp.zeros(n_prot, jnp.int64).at[pidc].add(
+            jnp.where(r0 & ~multi, so.astype(jnp.int64), 0), mode="drop")
+        sum1 = jnp.zeros(n_prot, jnp.int64).at[pidc].add(
+            jnp.where(r0 & multi, so.astype(jnp.int64), 0), mode="drop")
+        rep_sum = jnp.zeros(n_prot, jnp.int64).at[pidc].add(
+            jnp.where(r0, sa, 0), mode="drop")
+        rep_cnt = jnp.zeros(n_prot, jnp.int64).at[pidc].add(
+            r0.astype(jnp.int64), mode="drop")
+        outs = (max_so, cnt0, cnt1, sum0, sum1, rep_sum, rep_cnt)
+        return tuple(lax.pmax(o, "g") if i == 0 else lax.psum(o, "g")
+                     for i, o in enumerate(outs))
+
+    gs = P("g")
+    rep = P()
+    return shard_map(per_shard, mesh=mesh,
+                     in_specs=(gs,) * 7, out_specs=(rep,) * 7,
+                     check_rep=False)(pid, score_ori, score_adj, n_exon,
+                                      rank, flt, valid)

@@ -21,7 +21,7 @@ from .io import paf as paf_mod
 from .options import (PG_F_WRITE_BED_FLAG, PG_F_WRITE_BED_RAW,
                       PG_F_WRITE_BED_WALK, PG_F_WRITE_NO_WALK, PgOpt)
 from .ops import pseudo as pseudo_ops
-from .ops import sweep
+from .ops import dispatch as sweep
 from .ops.sort import hit_sort
 from .util import log_msg
 

@@ -1,0 +1,42 @@
+"""Multi-device (8 virtual CPU) sharded-engine tests.
+
+These run in subprocesses because the axon TPU sitecustomize pins the device
+topology at interpreter start — a clean env is required for a CPU mesh.
+"""
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = str(pathlib.Path(__file__).parent.parent)
+
+
+def clean_env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    return env
+
+
+@pytest.mark.slow
+def test_sharded_engine_c4_parity(c4_pafs, golden_dir, tmp_path):
+    out = tmp_path / "c4.gfa"
+    with open(out, "w") as fp:
+        subprocess.run(
+            [sys.executable, "-m", "pangene_tpu.cli", "--engine", "sharded",
+             *c4_pafs], stdout=fp, stderr=subprocess.DEVNULL,
+            env=clean_env(), check=True, timeout=600)
+    assert out.read_text() == (golden_dir / "C4.gfa").read_text()
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "__graft_entry__.py"), "8"],
+        env=clean_env(), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
