@@ -160,8 +160,11 @@ def _open(fn: str):
 def read_paf(opt: PgOpt, d: DataSet, fn: str) -> Genome:
     """Parse one PAF file into a new Genome appended to `d` (read.c:107-242).
 
-    Only parsing + interning; the per-genome filter postpass (read.c:243-260)
-    is run by the pipeline driver so it can target host or device engines.
+    Uses the native C parser (zlib + exact long-double score adjustment)
+    when available and no exclusion list is set; falls back to the pure
+    Python state machine. Only parsing + interning here; the per-genome
+    filter postpass (read.c:243-260) is run by the pipeline driver so it
+    can target host or device engines.
     """
     import os
     import sys
@@ -170,6 +173,10 @@ def read_paf(opt: PgOpt, d: DataSet, fn: str) -> Genome:
         # (read.c:117-118); we at least warn
         sys.stderr.write("[W::pg_read_paf] failed to open %r; skipped\n" % fn)
         return None
+    if opt.excl is None and fn != "-":
+        g = _read_paf_native(opt, d, fn)
+        if g is not None:
+            return g
     gb = _GenomeBuilder(read_label(fn))
     delim = opt.gene_delim.encode()
     excl = opt.excl
@@ -275,4 +282,89 @@ def read_paf(opt: PgOpt, d: DataSet, fn: str) -> Genome:
     g = gb.finish()
     d.genomes.append(g)
     g._n_tot_records = n_tot  # for the read-stage log line
+    return g
+
+
+def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
+    """Assemble a Genome from the native parser's SoA output, applying the
+    per-record global-table side effects in record order (read.c:151-200):
+    gene/protein interning at first occurrence, prot_len = last record's
+    qlen (reset-0 quirk), gene_len = max, per-record contig length."""
+    from ..native.loader import parse_paf_native
+    try:
+        nat = parse_paf_native(fn, opt.min_prot_ratio, opt.min_prot_iden,
+                               opt.score_adj_coef)
+    except RuntimeError as e:
+        raise
+    if nat is None:
+        return None
+    delim = opt.gene_delim
+    # global ids for this file's unique protein names (first-occurrence order)
+    pid_lut = np.empty(len(nat["prot_names"]), np.int32)
+    gid_lut = np.empty(len(nat["prot_names"]), np.int32)
+    for i, name in enumerate(nat["prot_names"]):
+        di = name.find(delim)
+        gene_name = name[:di] if di >= 0 else name
+        gid = d.add_gene(gene_name)
+        d.gene_preferred[gid] = 1 if (opt.preferred and gene_name in opt.preferred) else 0
+        d.gene_included[gid] = 1 if (opt.incl and gene_name in opt.incl) else 0
+        pid = d.add_prot(name, gid)
+        d.prot_gid[pid] = gid
+        pid_lut[i] = pid
+        gid_lut[i] = gid
+    # prot_len: last record per name wins; missing field-1 records reset to 0
+    r_name = nat["r_name"]
+    r_qlen = nat["r_qlen"]
+    if len(r_name):
+        order = np.argsort(r_name, kind="stable")
+        ns = r_name[order]
+        last = order[np.flatnonzero(np.concatenate((ns[1:] != ns[:-1], [True])))]
+        for nid, ql in zip(r_name[last], r_qlen[last]):
+            d.prot_len[pid_lut[nid]] = int(ql) if ql >= 0 else 0
+        # gene_len = max over records with a parsed qlen
+        has = r_qlen >= 0
+        if has.any():
+            gmax = {}
+            for nid, ql in zip(r_name[has], r_qlen[has]):
+                g = int(gid_lut[nid])
+                if ql > gmax.get(g, -1):
+                    gmax[g] = int(ql)
+            for g, ql in gmax.items():
+                if d.gene_len[g] < ql:
+                    d.gene_len[g] = ql
+    # contigs: per-file table; register names globally; len = last record's
+    ctg_names = nat["ctg_names"]
+    for name in ctg_names:
+        if name not in d.ctg_id:
+            d.ctg_id[name] = len(d.ctg_id)
+    ctg_len = np.zeros(len(ctg_names), np.int64)
+    r_cid = nat["r_cid"]
+    r_ctglen = nat["r_ctglen"]
+    seen = r_cid >= 0
+    if seen.any():
+        cids = r_cid[seen]
+        lens = r_ctglen[seen]
+        order = np.argsort(cids, kind="stable")
+        cs_ = cids[order]
+        last = order[np.flatnonzero(np.concatenate((cs_[1:] != cs_[:-1], [True])))]
+        ctg_len[cids[last]] = lens[last]
+    # hit table
+    n = len(nat["h_name"])
+    hits = HitTable.empty(n)
+    hits.set("pid", pid_lut[nat["h_name"]])
+    for src, dst in (("h_qs", "qs"), ("h_qe", "qe"), ("h_mlen", "mlen"),
+                     ("h_blen", "blen"), ("h_rank", "rank"),
+                     ("h_score_ori", "score_ori"),
+                     ("h_score_adj", "score_adj"), ("h_lof", "lof"),
+                     ("h_n_exon", "n_exon"), ("h_off_exon", "off_exon"),
+                     ("h_cid", "cid"), ("h_cs", "cs"), ("h_ce", "ce"),
+                     ("h_cm", "cm")):
+        hits.set(dst, nat[src])
+    hits.set("rev", nat["h_rev"].astype(np.uint8))
+    hits.set("pid_dom", np.full(n, -1, np.int32))
+    hits.set("pid_dom0", np.full(n, -1, np.int32))
+    g = Genome(read_label(fn), ctg_names, ctg_len, hits,
+               nat["e_os"], nat["e_oe"])
+    d.genomes.append(g)
+    g._n_tot_records = nat["n_records"]
     return g

@@ -1,6 +1,8 @@
-"""Optional native (C) helpers: bit-exact long-double score adjustment and a
-fast PAF tokenizer. Importing fails gracefully; pure-Python fallbacks exist."""
+"""Native (C) host helpers: zlib PAF parser and bit-exact long-double score
+adjustment. Auto-built with the system compiler on first use; pure-Python
+fallbacks exist everywhere."""
 try:
-    from ._pgnative import score_adj_exact  # noqa: F401
-except Exception:  # extension not built
+    from .loader import score_adj_exact, parse_paf_native  # noqa: F401
+except Exception:  # pragma: no cover
     score_adj_exact = None
+    parse_paf_native = None

@@ -24,18 +24,15 @@ from ..util import log_msg
 from .sort import hit_sort
 
 
-def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per genome, per gene: (cid, kept-rank, cm) of its last kept hit in
-    cs-order (reference pg_gen_rep_pos, branch.c:6-29).
-
-    Returns (present[G,n_gene] bool, cid_rank[G,n_gene] int64 = cid<<32|rank,
-    cm[G,n_gene] int64).
-    """
+def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
+    """Per genome, per gene: (present, cid, kept-rank, cm) of its last kept
+    hit in cs-order (reference pg_gen_rep_pos, branch.c:6-29)."""
     G = d.n_genome
     ng = d.n_gene
     prot_gid = np.asarray(d.prot_gid, np.int32)
     present = np.zeros((G, ng), bool)
-    cid_rank = np.zeros((G, ng), np.int64)
+    cid = np.zeros((G, ng), np.int32)
+    rank = np.zeros((G, ng), np.int32)
     cm = np.zeros((G, ng), np.int64)
     for j, gen in enumerate(d.genomes):
         h = gen.hits
@@ -43,37 +40,44 @@ def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if len(keep) == 0:
             continue
         gids = prot_gid[h.pid[keep]]
-        ranks = np.arange(len(keep), dtype=np.int64)
-        # last kept hit of each gene wins: take the final element of each
-        # stable-sorted gid group (deterministic, unlike fancy-index overwrite)
+        ranks = np.arange(len(keep), dtype=np.int32)
+        # last kept hit of each gene wins: final element of each stable
+        # gid group (deterministic, unlike fancy-index overwrite)
         order = np.argsort(gids, kind="stable")
         gs = gids[order]
         last = order[np.flatnonzero(
             np.concatenate((gs[1:] != gs[:-1], [True])))]
         present[j, gids[last]] = True
-        cid_rank[j, gids[last]] = (h.cid[keep[last]].astype(np.int64) << 32) \
-            | ranks[last]
+        cid[j, gids[last]] = h.cid[keep[last]]
+        rank[j, gids[last]] = ranks[last]
         cm[j, gids[last]] = h.cm[keep[last]]
-    return present, cid_rank, cm
+    return present, cid, rank, cm
 
 
-def n_local_batch(opt: PgOpt, present: np.ndarray, cid_rank: np.ndarray,
-                  cm: np.ndarray, g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
+def n_local_batch(opt: PgOpt, rep_pos, g1: np.ndarray,
+                  g2: np.ndarray) -> np.ndarray:
     """Vectorized pg_n_local (branch.c:31-46) for gene-pair batches.
 
-    Sums over the genome axis; under sharding this is the psum reduction.
+    Locality is symmetric, so pairs are canonicalized and deduped before the
+    [n_genome, n_pairs] broadcast — vertices share many pairs and the raw
+    pair count grows with sum(degree^2). Sums over the genome axis; under
+    sharding this is the psum reduction.
     """
-    ok = present[:, g1] & present[:, g2]                    # [G, P]
+    present, cid, rank, cm = rep_pos
+    ng = present.shape[1]
+    a = np.minimum(g1, g2)
+    b = np.maximum(g1, g2)
+    keys = a * np.int64(ng) + b
+    uniq, inv = np.unique(keys, return_inverse=True)
+    ua = (uniq // ng).astype(np.int64)
+    ub = (uniq % ng).astype(np.int64)
+    ok = present[:, ua] & present[:, ub]
     if not opt.frag_mode:
-        ok &= (cid_rank[:, g1] >> 32) == (cid_rank[:, g2] >> 32)
-    dd = cm[:, g1] - cm[:, g2]
-    # (int32_t)a1->x - (int32_t)a2->x: low 32 bits of cid_rank as int32
-    c1 = (cid_rank[:, g1] & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
-    c2 = (cid_rank[:, g2] & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
-    cc = c1.astype(np.int64) - c2.astype(np.int64)
-    local = ok & (((dd >= -opt.local_dist) & (dd <= opt.local_dist))
-                  | ((cc >= -opt.local_count) & (cc <= opt.local_count)))
-    return local.sum(axis=0).astype(np.int32)
+        ok &= cid[:, ua] == cid[:, ub]
+    dd = np.abs(cm[:, ua] - cm[:, ub])
+    cc = np.abs(rank[:, ua].astype(np.int64) - rank[:, ub].astype(np.int64))
+    local = ok & ((dd <= opt.local_dist) | (cc <= opt.local_count))
+    return local.sum(axis=0, dtype=np.int32)[inv]
 
 
 def _ragged_arange(counts: np.ndarray) -> np.ndarray:
@@ -97,7 +101,7 @@ def mark_branch_flt_arc(opt: PgOpt, g: Graph) -> int:
     closed-form for degree 2 with a loop only over degree>=3 vertices.
     """
     d = g.d
-    present, cid_rank, cm = gen_rep_pos(d)
+    rep_pos = gen_rep_pos(d)
     g.seg_n_dist_loci = np.zeros((g.n_seg, 2), np.int32)
     arcs = g.arcs
     n_arc = len(arcs)
@@ -136,7 +140,7 @@ def mark_branch_flt_arc(opt: PgOpt, g: Graph) -> int:
         within = _ragged_arange(reps)
         max_side = max_arc_idx[np.repeat(max_start_g[arc_grp[cand]], reps)
                                + within]
-        nloc_pairs = n_local_batch(opt, present, cid_rank, cm,
+        nloc_pairs = n_local_batch(opt, rep_pos,
                                    tgt_gid[max_side], tgt_gid[cand_rep])
         nloc = np.zeros(n_arc, np.int64)
         np.add.at(nloc, cand_rep, nloc_pairs.astype(np.int64))
@@ -151,35 +155,47 @@ def mark_branch_flt_arc(opt: PgOpt, g: Graph) -> int:
     deg2 = np.flatnonzero(big & (gcnt == 2))
     if len(deg2):
         a0 = gstart[deg2]
-        loc01 = n_local_batch(opt, present, cid_rank, cm,
+        loc01 = n_local_batch(opt, rep_pos,
                               tgt_gid[a0], tgt_gid[a0 + 1]) > 0
         v = gsrc[deg2]
         g.seg_n_dist_loci[v >> 1, v & 1] = np.where(loc01, 1, 2)
     deg3 = np.flatnonzero(gcnt >= 3)
     if len(deg3):
-        p1 = []
-        p2 = []
-        for gi in deg3:
-            s0, n = int(gstart[gi]), int(gcnt[gi])
-            ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-            p1.append(tgt_gid[s0 + ii.ravel()])
-            p2.append(tgt_gid[s0 + jj.ravel()])
-        nl = n_local_batch(opt, present, cid_rank, cm,
-                           np.concatenate(p1), np.concatenate(p2))
+        # ragged all-pairs construction without per-vertex python work
+        n3 = gcnt[deg3]
+        sq = n3 * n3
+        base = np.repeat(gstart[deg3], sq)
+        flat = _ragged_arange(sq)
+        nn = np.repeat(n3, sq)
+        a1 = tgt_gid[base + flat // nn]
+        a2 = tgt_gid[base + flat % nn]
+        nl = n_local_batch(opt, rep_pos, a1, a2)
+        # greedy grouping via per-row bitmasks: a vertex's degree is bounded
+        # by max_degree (~15-30), so each row fits a python int
+        loc = nl > 0
         off = 0
         for gi in deg3:
             n = int(gcnt[gi])
-            pairloc = nl[off:off + n * n].reshape(n, n) > 0
+            m = loc[off:off + n * n].reshape(n, n)
             off += n * n
-            grp = np.zeros(n, np.int32)
+            rows = (m @ (1 << np.arange(n, dtype=np.int64))).tolist() \
+                if n <= 62 else None
             n_group = 0
-            for i in range(n):
-                if grp[i] == 0:
-                    n_group += 1
-                    grp[i] = n_group
-                tgt = np.flatnonzero(pairloc[i, i + 1:]
-                                     & (grp[i + 1:] == 0)) + i + 1
-                grp[tgt] = grp[i]
+            if rows is not None:
+                unassigned = (1 << n) - 1
+                for i in range(n):
+                    if (unassigned >> i) & 1:
+                        n_group += 1
+                    unassigned &= ~(rows[i] & ~((2 << i) - 1))
+            else:  # huge degree: object-int bit packing
+                grp = np.zeros(n, np.int32)
+                for i in range(n):
+                    if grp[i] == 0:
+                        n_group += 1
+                        grp[i] = n_group
+                    tgt = np.flatnonzero(m[i, i + 1:]
+                                         & (grp[i + 1:] == 0)) + i + 1
+                    grp[tgt] = grp[i]
             v = int(gsrc[gi])
             g.seg_n_dist_loci[v >> 1, v & 1] = n_group
     log_msg("pg_mark_branch_flt_arc",

@@ -59,24 +59,27 @@ def flt_subopt_isoform(d: DataSet, g: Genome) -> int:
     first hit in current table order wins ties.
     """
     h = g.hits
+    n = len(h)
     prot_gid = np.asarray(d.prot_gid, np.int64)
-    best = np.zeros(d.n_gene, np.uint64)
-    for i in range(len(h)):
-        if h.flt[i] or h.rank[i] > 0:
-            continue
-        gid = int(prot_gid[h.pid[i]])
-        if int(h.score_adj[i]) > int(best[gid] >> U64(32)):
-            best[gid] = U64((int(h.score_adj[i]) << 32) | int(h.pid[i]))
-    n_flt = 0
     gid_all = prot_gid[h.pid]
-    for i in range(len(h)):
-        if h.flt[i]:
-            continue
-        if int(h.pid[i]) != int(np.int32(best[gid_all[i]] & U64(MASK32))):
-            h.flt[i] = 1
-            h.flt_iso_sub_self[i] = 1
-            n_flt += 1
-    return n_flt
+    # winner per gene = first (table-order) hit achieving the max score_adj
+    # among rank-0 unfiltered hits; genes with no such hit keep the 0 default
+    # (so only pid 0 survives there — reference quirk, best[gid]==0)
+    best_pid = np.zeros(d.n_gene, np.int64)
+    # score_adj must beat the 0-initialized accumulator strictly (hit.c:116),
+    # so a gene whose eligible hits all score 0 keeps best_pid == 0
+    elig = np.flatnonzero((h.flt == 0) & (h.rank == 0) & (h.score_adj > 0))
+    if len(elig):
+        order = np.lexsort((elig, -h.score_adj[elig].astype(np.int64),
+                            gid_all[elig]))
+        e = elig[order]
+        ge = gid_all[e]
+        first = np.flatnonzero(np.concatenate(([True], ge[1:] != ge[:-1])))
+        best_pid[ge[first]] = h.pid[e[first]]
+    lose = (h.flt == 0) & (h.pid != best_pid[gid_all])
+    h.flt[lose] = 1
+    h.flt_iso_sub_self[lose] = 1
+    return int(lose.sum())
 
 
 def flt_chain_shadow(d: DataSet, g: Genome) -> int:
