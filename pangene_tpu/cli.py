@@ -172,6 +172,11 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import signal
+    try:
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
     argv = sys.argv[1:] if argv is None else argv
     parsed = parse_args(argv)
     if parsed is None:
