@@ -1,0 +1,294 @@
+"""Pallas TPU kernel for the shadow sweep — the hot op.
+
+The XLA lax.scan formulation (ops/device.py) re-streams the full column set
+from HBM on every delta step and emulates int64. This kernel keeps one
+halo'd block of hits resident in VMEM across the whole delta = 1..W band
+and works in int32 throughout:
+
+  * grid over hit blocks of B rows; block p sees the halo rows
+    [p*B - W, p*B + B) of every column plus the K-padded exon windows
+    (halo views are materialized by a gather outside the kernel so
+    BlockSpec blocks stay non-overlapping);
+  * coordinates are int32 (valid while contig positions < 2^31 — true for
+    real genomes; the caller checks and falls back otherwise);
+  * packed scores compare as (hi, lo) int32 pairs with
+    hi = score_adj<<1|preferred, lo = hash ^ 0x80000000 (the sign flip
+    makes signed i32 compare equal unsigned u32 compare);
+  * the cov_short float predicate (overlap.c:134-136) becomes the exact
+    integer test ov * 2^k >= m * p when min_ov_ratio == p / 2^k with
+    k <= 20: for the default 0.5 this is 2*ov >= m, provably identical to
+    the reference's f64 compare for any m < 2^53 (q = ov/m sits at least
+    1/(2m) > 2^-53 from the rounding boundary). Non-dyadic ratios fall
+    back to the XLA path.
+
+Per-loser dominator candidates landing in the halo (loser = j) are emitted
+per program and merged with the owner block's candidates in a small NumPy
+combine (each row is covered by at most two programs).
+"""
+from __future__ import annotations
+
+import functools
+from fractions import Fraction
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SIGN = np.int32(-2**31)
+BLOCK_B = 256
+
+
+def dyadic_ratio(r: float, max_k: int = 20) -> Optional[Tuple[int, int]]:
+    """(p, k) with r == p / 2^k and 0 <= p <= 2^k, k <= max_k; else None."""
+    num, den = np.float64(r).as_integer_ratio()
+    if den & (den - 1):
+        return None
+    k = den.bit_length() - 1
+    if k > max_k or num < 0 or num > den:
+        return None
+    return int(num), k
+
+
+def _kernel(cols_ref, eos_ref, eoe_ref, out_ref,
+            jc_ref, je1_ref, je2_ref, accj_ref, acci_ref,
+            *, B: int, W: int, K: int, H: int, check_strand: bool,
+            cov_p: int, cov_k: int):
+    """cols_ref: (16, HW) int32 rows = [cs, ce, cid, flt, rev, rank, gid,
+    shi, slo, weak, clen, pad...]; exons (HW, K). out_ref: (8, HW) rows
+    [marks, bhi, blo, both, bov]. One program = hits [p*B, p*B + B) with
+    halo rows [p*B - W, p*B + B).
+
+    Mosaic permits only 128-aligned dynamic lane offsets, so the sliding
+    j-window uses a rolling frame: scratch copies of the halo roll by one
+    lane per delta step, making every slice static; the j-side accumulator
+    rolls in lockstep and is unrolled by -W at the end.
+    """
+    p = pl.program_id(0)
+    HW = W + B
+    (CS, CE, CID, FLT, REV, RANK, GID, SHI, SLO, WEAK, CLEN) = range(11)
+    NEG = jnp.int32(-2**31)
+    POSMAX = jnp.int32(2**31 - 1)
+
+    jc_ref[:] = cols_ref[:]
+    je1_ref[:] = eos_ref[:]
+    je2_ref[:] = eoe_ref[:]  # exons are (K, HW): lanes = hits
+    acc0 = jnp.concatenate([
+        jnp.zeros((2, HW), jnp.int32),            # marks, bhi
+        jnp.full((1, HW), NEG, jnp.int32),        # blo
+        jnp.full((1, HW), POSMAX, jnp.int32),     # both
+        jnp.zeros((4, HW), jnp.int32)], axis=0)   # bov + pad
+    accj_ref[:] = acc0
+    acci_ref[:] = acc0[:, :B]
+
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) \
+        + (p * B).astype(jnp.int32)
+
+    def row(c):
+        return cols_ref[c:c + 1, W:W + B]  # (1, B) block rows
+
+    cs_i = row(CS)
+    flt_i = row(FLT)
+    cid_i = row(CID)
+    rev_i = row(REV)
+    rank_i = row(RANK)
+    gid_i = row(GID)
+    hi_i = row(SHI)
+    lo_i = row(SLO)
+    wk_i = row(WEAK)
+    len_i = row(CLEN)
+    ios = eos_ref[:, W:W + B]   # (K, B)
+    ioe = eoe_ref[:, W:W + B]
+
+    def lex_merge(cur, cand, c_hi, c_lo, c_other, c_ov):
+        """cur: (8, n) stacked [marks,bhi,blo,both,bov,...]."""
+        cur_mk, cur_hi, cur_lo, cur_ot, cur_ov = [
+            cur[r:r + 1] for r in range(5)]
+        better = (c_hi > cur_hi) | ((c_hi == cur_hi) & (c_lo > cur_lo)) \
+            | ((c_hi == cur_hi) & (c_lo == cur_lo) & (c_other < cur_ot))
+        upd = cand & better
+        return jnp.concatenate([
+            cur_mk | cand.astype(jnp.int32),
+            jnp.where(upd, c_hi, cur_hi),
+            jnp.where(upd, c_lo, cur_lo),
+            jnp.where(upd, c_other, cur_ot),
+            jnp.where(upd, c_ov, cur_ov),
+            cur[5:8]], axis=0)
+
+    def body(delta, _):
+        # advance the rolling frame: after this, J[:, q] = halo[:, q - delta]
+        jc_ref[:] = pltpu.roll(jc_ref[:], 1, 1)
+        je1_ref[:] = pltpu.roll(je1_ref[:], 1, 1)
+        je2_ref[:] = pltpu.roll(je2_ref[:], 1, 1)
+        accj_ref[:] = pltpu.roll(accj_ref[:], 1, 1)
+
+        def jrow(c):
+            return jc_ref[c:c + 1, W:W + B]
+
+        mask = (cid_i == jrow(CID)) & (jrow(CE) > cs_i) \
+            & (flt_i == 0) & (jrow(FLT) == 0) \
+            & (iota_i - delta >= 0) & (iota_i < H)
+        if check_strand:
+            mask &= rev_i == jrow(REV)
+        jos = je1_ref[:, W:W + B]   # (K, B)
+        joe = je2_ref[:, W:W + B]
+        ov2 = jnp.zeros((K, B), jnp.int32)
+        for a in range(K):
+            lo_c = jnp.maximum(ios[a:a + 1, :], jos)
+            hi_c = jnp.minimum(ioe[a:a + 1, :], joe)
+            ov2 = ov2 + jnp.maximum(hi_c - lo_c, 0)
+        ov = ov2.sum(axis=0).reshape(1, B)
+        mask &= ov > 0
+        same_gene = gid_i == jrow(GID)
+        m = jnp.minimum(len_i, jrow(CLEN))
+        cov_ok = (ov << cov_k) >= m * jnp.int32(cov_p)
+        mask &= same_gene | cov_ok
+        hi_j, lo_j = jrow(SHI), jrow(SLO)
+        score_i_loses = (hi_i < hi_j) | ((hi_i == hi_j) & (lo_i < lo_j)) \
+            | ((hi_i == hi_j) & (lo_i == lo_j) & (rank_i > jrow(RANK)))
+        wk_j = jrow(WEAK)
+        by_score = same_gene | (wk_i == wk_j)
+        i_loses = (by_score & score_i_loses) | (~by_score & (wk_i > wk_j))
+        # loser = i: candidates accumulate in the static block frame
+        acci_ref[:] = lex_merge(acci_ref[:], mask & i_loses,
+                                hi_j, lo_j, iota_i - delta, ov)
+        # loser = j: in the rolled frame the j rows sit at [W, W+B)
+        accj_ref[0:8, W:W + B] = lex_merge(accj_ref[0:8, W:W + B],
+                                           mask & ~i_loses,
+                                           hi_i, lo_i, iota_i, ov)
+        return 0
+
+    lax.fori_loop(jnp.int32(1), jnp.int32(W + 1), body, 0,
+                  unroll=False)
+
+    # unroll the j-side accumulator back to logical coordinates and merge
+    accj = pltpu.roll(accj_ref[:], B, 1)  # HW - W == -W (mod HW)
+    acci = acci_ref[:]
+    merged_block = lex_merge(
+        accj[0:8, W:W + B],
+        acci[0:1] > 0, acci[1:2], acci[2:3], acci[3:4], acci[4:5])
+    out_ref[:, :W] = accj[:, :W]
+    out_ref[:, W:W + B] = merged_block
+
+
+def _pallas_call(B, W, K, H, check_strand, cov_p, cov_k, n_prog, interpret):
+    HW = W + B
+    kern = functools.partial(_kernel, B=B, W=W, K=K, H=H,
+                             check_strand=check_strand,
+                             cov_p=cov_p, cov_k=cov_k)
+    return pl.pallas_call(
+        kern,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((16, HW), lambda i: (i, 0)),
+            pl.BlockSpec((K, HW), lambda i: (0, i)),
+            pl.BlockSpec((K, HW), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((8, HW), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((8, n_prog * HW), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((16, HW), jnp.int32),
+            pltpu.VMEM((K, HW), jnp.int32),
+            pltpu.VMEM((K, HW), jnp.int32),
+            pltpu.VMEM((8, HW), jnp.int32),
+            pltpu.VMEM((8, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "B", "W", "K", "H", "check_strand", "cov_p", "cov_k", "n_prog",
+    "interpret"))
+def _run(cols_halo, eos_halo, eoe_halo, *, B, W, K, H, check_strand,
+         cov_p, cov_k, n_prog, interpret):
+    return _pallas_call(B, W, K, H, check_strand, cov_p, cov_k, n_prog,
+                        interpret)(cols_halo, eos_halo, eoe_halo)
+
+
+def shadow_pallas_genome(cols_np: dict, K: int, W: int, H: int,
+                         check_strand: bool, cov_p: int, cov_k: int,
+                         interpret: bool = False):
+    """Host wrapper: front-pad by W, build per-program halo views, run the
+    kernel, merge per-program candidates (own block + successor's halo).
+
+    Returns (marks, has_dom, best_other, best_ov) as NumPy arrays of len H.
+    """
+    W = max(128, -(-W // 128) * 128)   # lane-tile alignment (128)
+    B = max(BLOCK_B, W)                # B >= W: each row covered <= twice
+    n_prog = max((H + B - 1) // B, 1)
+    HW = W + B
+    Hp = W + n_prog * B
+
+    def pad1(a, fill):
+        out = np.full(Hp, fill, np.int32)
+        out[W:W + len(a)] = a
+        return out
+
+    order = ("cs", "ce", "cid", "flt", "rev", "rank", "gid", "shi", "slo",
+             "weak", "clen")
+    fills = {"cs": 0, "ce": -1, "cid": -7, "flt": 1, "rev": 0, "rank": 0,
+             "gid": -1, "shi": 0, "slo": int(SIGN), "weak": 0, "clen": 1}
+    cols = np.stack([pad1(cols_np[k], fills[k]) for k in order]
+                    + [np.zeros(Hp, np.int32)] * 5)  # (16, Hp)
+    eos = np.zeros((K, Hp), np.int32)
+    eoe = np.zeros((K, Hp), np.int32)
+    eos[:, W:W + H] = cols_np["eos"].T
+    eoe[:, W:W + H] = cols_np["eoe"].T
+
+    # materialize halo views (overlap by W): program p sees [p*B, p*B + HW)
+    pidx = (np.arange(n_prog)[:, None] * B + np.arange(HW)[None, :])
+    cols_halo = np.ascontiguousarray(cols[:, pidx].transpose(1, 0, 2)) \
+        .reshape(n_prog * 16, HW)        # rows p*16..p*16+15
+    eos_halo = eos[:, pidx.reshape(-1)]        # (K, n_prog*HW)
+    eoe_halo = eoe[:, pidx.reshape(-1)]
+
+    # Mosaic has no 64-bit support; the package enables x64 globally, so
+    # trace/lower this all-int32 kernel under a disable_x64 scope
+    with jax.enable_x64(False):
+        outs = _run(jnp.asarray(cols_halo), jnp.asarray(eos_halo),
+                    jnp.asarray(eoe_halo), B=B, W=W, K=K, H=H,
+                    check_strand=check_strand, cov_p=cov_p, cov_k=cov_k,
+                    n_prog=n_prog, interpret=interpret)
+    o = np.asarray(outs).reshape(8, n_prog, HW)
+    marks, bhi, blo, both, bov = o[0], o[1], o[2], o[3], o[4]
+
+    g_m = np.zeros(H, np.int64)
+    g_hi = np.zeros(H, np.int64)
+    g_lo = np.full(H, np.int64(SIGN), np.int64)
+    g_ot = np.full(H, 2**31 - 1, np.int64)
+    g_ov = np.zeros(H, np.int64)
+
+    def absorb(rows, m2, hi2, lo2, ot2, ov2):
+        better = (hi2 > g_hi[rows]) \
+            | ((hi2 == g_hi[rows]) & (lo2 > g_lo[rows])) \
+            | ((hi2 == g_hi[rows]) & (lo2 == g_lo[rows])
+               & (ot2 < g_ot[rows]))
+        g_m[rows] |= m2
+        rr = rows[better]
+        g_hi[rr] = hi2[better]
+        g_lo[rr] = lo2[better]
+        g_ot[rr] = ot2[better]
+        g_ov[rr] = ov2[better]
+
+    r = np.arange(H)
+    pown = r // B
+    pos = W + r % B
+    absorb(r, marks[pown, pos], bhi[pown, pos].astype(np.int64),
+           blo[pown, pos].astype(np.int64), both[pown, pos].astype(np.int64),
+           bov[pown, pos].astype(np.int64))
+    nxt = (r % B >= B - W) & (pown + 1 < n_prog)
+    rn = r[nxt]
+    posn = rn % B + W - B
+    if len(rn):
+        absorb(rn, marks[pown[nxt] + 1, posn],
+               bhi[pown[nxt] + 1, posn].astype(np.int64),
+               blo[pown[nxt] + 1, posn].astype(np.int64),
+               both[pown[nxt] + 1, posn].astype(np.int64),
+               bov[pown[nxt] + 1, posn].astype(np.int64))
+    has = (g_hi != 0) | (g_lo != np.int64(SIGN))
+    return g_m.astype(bool), has, g_ot, g_ov
