@@ -57,14 +57,18 @@ Options:
     --bed[=STR]   output 12-column BED where STR is walk, raw or flag [walk]
     --version     print version number
   TPU engine:
-    --engine STR  host | jax [host]
-    --devices INT shard genomes over INT devices (jax engine; 0=all) [1]
+    --engine STR  host | host-ref | jax | sharded [host]
+    --devices INT shard genomes over INT devices (sharded engine; 0=all) [1]
+    --save-hits F checkpoint post-ingest hit tensors to F (.npz)
+    --load-hits F resume from a checkpoint instead of parsing PAFs
+    --profile DIR capture a jax.profiler trace of the run into DIR
 """
 
 
 def parse_args(argv: List[str]) -> Optional[tuple]:
     opt = PgOpt()
     files: List[str] = []
+    extras = {"save_hits": None, "load_hits": None, "profile": None}
     i = 0
 
     def need_arg() -> str:
@@ -100,6 +104,12 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
                                  "host|host-ref|jax|sharded" % opt.engine)
         elif a == "--devices":
             opt.n_devices = int(need_arg())
+        elif a == "--save-hits":
+            extras["save_hits"] = need_arg()
+        elif a == "--load-hits":
+            extras["load_hits"] = need_arg()
+        elif a == "--profile":
+            extras["profile"] = need_arg()
         elif a.startswith("-") and len(a) >= 2 and a != "-":
             c = a[1]
             inline = a[2:]
@@ -165,10 +175,10 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
         else:
             files.append(a)
         i += 1
-    if not files:
+    if not files and not extras["load_hits"]:
         sys.stderr.write(USAGE)
         raise SystemExit(1)
-    return opt, files
+    return opt, files, extras
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -181,10 +191,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     parsed = parse_args(argv)
     if parsed is None:
         return 0
-    opt, files = parsed
+    opt, files, extras = parsed
     from . import pipeline
     from .util import cputime, log_msg, peakrss, realtime
-    pipeline.run(opt, files)
+    pipeline.run(opt, files, **extras)
     if util.verbose >= 3:
         sys.stderr.write("[M::main] Version: %s\n" % PG_VERSION)
         sys.stderr.write("[M::main] CMD: pangene-tpu %s\n" % " ".join(argv))

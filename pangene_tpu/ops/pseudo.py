@@ -31,23 +31,26 @@ def flag_pseudo(d: DataSet, g: Genome) -> int:
     # stable (pid, rank) order, same permutation as the reference radix sort
     order = np.lexsort((h.rank, h.pid))
     pid_s = h.pid[order]
-    n_pseudo = 0
-    i0 = 0
-    for i in range(1, n + 1):
-        if i == n or pid_s[i] != pid_s[i0]:
-            grp = order[i0:i]
-            ne = h.n_exon[grp]
-            max_n = int(ne.max())
-            min_n = int(ne.min())
-            if max_n > 1 and (min_n == 1 or min_n * 2 <= max_n):
-                is_p = (ne == 1) | (ne * 2 <= max_n)
-                h.pseudo[grp[is_p]] = 1
-                n_pseudo += int(is_p.sum())
-                j1 = int(np.flatnonzero(~is_p)[0])
-                if h.rank[grp[j1]] > 0:  # promote first multi-exon to rank 0
-                    h.rank[grp[:j1]] += 1
-                    h.rank[grp[j1]] = 0
-            i0 = i
+    ne = h.n_exon[order].astype(np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], pid_s[1:] != pid_s[:-1])))
+    gidx = np.cumsum(np.concatenate(([False], pid_s[1:] != pid_s[:-1])))
+    within = np.arange(n) - starts[gidx]
+    max_n = np.maximum.reduceat(ne, starts)
+    min_n = np.minimum.reduceat(ne, starts)
+    cond_g = (max_n > 1) & ((min_n == 1) | (min_n * 2 <= max_n))
+    is_p = cond_g[gidx] & ((ne == 1) | (ne * 2 <= max_n[gidx]))
+    h.pseudo[order[is_p]] = 1
+    n_pseudo = int(is_p.sum())
+    # promote the first surviving multi-exon hit of each flagged group to
+    # rank 0, bumping the flagged hits before it (hit.c:94-98)
+    BIG = n + 1
+    pos = np.where(cond_g[gidx] & ~is_p, within, BIG)
+    j1 = np.minimum.reduceat(pos, starts)
+    j1_abs = starts + np.where(j1 < BIG, j1, 0)
+    promote = cond_g & (j1 < BIG) & (h.rank[order[j1_abs]] > 0)
+    bump = promote[gidx] & (within < j1[gidx])
+    h.rank[order[bump]] += 1
+    h.rank[order[j1_abs[promote]]] = 0
     return n_pseudo
 
 

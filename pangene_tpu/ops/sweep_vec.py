@@ -33,8 +33,13 @@ def _exon_windows(g: Genome, K: int) -> Tuple[np.ndarray, np.ndarray]:
     emask = kk < h.n_exon[:, None]
     idxc = np.clip(idx, 0, max(len(g.exon_os) - 1, 0))
     cs = h.cs[:, None]
-    abs_os = np.where(emask, g.exon_os[idxc].astype(np.int64) + cs, 0)
-    abs_oe = np.where(emask, g.exon_oe[idxc].astype(np.int64) + cs, 0)
+    # int32 halves the sweep's memory traffic; exact while positions < 2^31
+    dt = np.int32 if len(h) == 0 or int(h.ce.max(initial=0)) < 2**31 \
+        else np.int64
+    abs_os = np.where(emask, g.exon_os[idxc].astype(dt) + cs.astype(dt), 0) \
+        .astype(dt)
+    abs_oe = np.where(emask, g.exon_oe[idxc].astype(dt) + cs.astype(dt), 0) \
+        .astype(dt)
     return abs_os, abs_oe
 
 

@@ -56,10 +56,42 @@ def read_all(opt: PgOpt, files: List[str]) -> DataSet:
     return d
 
 
-def run(opt: PgOpt, files: List[str], out: Optional[IO[str]] = None) -> Graph:
-    """Full run; returns the final Graph (None graph fields if --bed=raw)."""
+def run(opt: PgOpt, files: List[str], out: Optional[IO[str]] = None,
+        save_hits: Optional[str] = None,
+        load_hits: Optional[str] = None,
+        profile: Optional[str] = None) -> Graph:
+    """Full run; returns the final Graph (None graph fields if --bed=raw).
+
+    save_hits/load_hits checkpoint the post-ingest per-genome hit tensors
+    (SURVEY.md §5): a resumed run skips PAF parsing and the per-genome read
+    postpass and is byte-identical to a fresh one as long as the
+    read-phase options (-d/-e/-l/-m/-S/-X/-I/-P) are unchanged.
+    """
     out = out or sys.stdout
-    d = read_all(opt, files)
+    if profile:  # jax.profiler trace (device + host timelines)
+        import jax
+        jax.profiler.start_trace(profile)
+    try:
+        return _run_inner(opt, files, out, save_hits, load_hits)
+    finally:
+        if profile:
+            import jax
+            jax.profiler.stop_trace()
+            log_msg("pg_profile", "trace written to %s", profile)
+
+
+def _run_inner(opt, files, out, save_hits, load_hits) -> Graph:
+    if load_hits:
+        from .io.checkpoint import load_dataset
+        d = load_dataset(load_hits)
+        log_msg("pg_resume", "loaded %d genomes, %d genes, %d proteins from %s",
+                d.n_genome, d.n_gene, d.n_prot, load_hits)
+    else:
+        d = read_all(opt, files)
+    if save_hits:
+        from .io.checkpoint import save_dataset
+        save_dataset(d, save_hits)
+        log_msg("pg_checkpoint", "saved post-ingest tensors to %s", save_hits)
     post_process(opt, d)
     if opt.flag & PG_F_WRITE_BED_RAW:
         bed_mod.write_bed(d, is_walk=False, out=out)

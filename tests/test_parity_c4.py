@@ -15,9 +15,9 @@ from pangene_tpu.options import PgOpt
 
 
 def run_capture(args, files):
-    opt, fl = parse_args(args + files)
+    opt, fl, extras = parse_args(args + files)
     out = io.StringIO()
-    pipeline.run(opt, fl, out=out)
+    pipeline.run(opt, fl, out=out, **extras)
     return out.getvalue()
 
 
