@@ -21,17 +21,22 @@ _lib = None
 _build_failed = False
 
 
-def _build() -> bool:
+def build_so(src: str, so: str, libs=("-lz", "-lm")) -> bool:
+    """Compile one .c into a shared object with the first working compiler."""
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _SO, "-lz", "-lm"],
+                [cc, "-O3", "-shared", "-fPIC", src, "-o", so] + list(libs),
                 capture_output=True, timeout=120)
             if r.returncode == 0:
                 return True
         except Exception:
             continue
     return False
+
+
+def _build() -> bool:
+    return build_so(_SRC, _SO)
 
 
 def get_lib():

@@ -1,8 +1,12 @@
 """Engine dispatch for the per-genome sweep kernels.
 
-opt.engine == "host": exact NumPy oracle (ops/sweep.py).
-opt.engine == "jax":  jit device kernels (ops/device.py) with host fallback
-                      on float-predicate ambiguity. Identical results.
+opt.engine == "host":     native C sweeps (ops/sweep_native.py) when a
+                          compiler is available, else the vectorized NumPy
+                          path (ops/sweep_vec.py). Identical results.
+opt.engine == "host-vec": force the vectorized NumPy path.
+opt.engine == "host-ref": scalar oracle (ops/sweep.py, tests).
+opt.engine == "jax":      jit device kernels (ops/device.py) with host
+                          fallback on float-predicate ambiguity.
 """
 from __future__ import annotations
 
@@ -11,12 +15,20 @@ from ..options import PgOpt
 from . import sweep as host_sweep
 
 
+def _host_native_ok() -> bool:
+    from . import sweep_native
+    return sweep_native.available()
+
+
 def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
     if opt.engine in ("jax", "sharded"):
         from . import device_engine
         return device_engine.shadow(opt, d, g, cal_dom_sc)
     if opt.engine == "host-ref":  # scalar oracle (tests)
         return host_sweep.shadow(opt, d, g, cal_dom_sc)
+    if opt.engine == "host" and _host_native_ok():
+        from . import sweep_native
+        return sweep_native.shadow(opt, d, g, cal_dom_sc)
     from . import sweep_vec
     return sweep_vec.shadow(opt, d, g, cal_dom_sc)
 
@@ -27,5 +39,8 @@ def flt_ov_isoform(opt: PgOpt, d: DataSet, g: Genome) -> int:
         return device_engine.flt_ov_isoform(opt, d, g)
     if opt.engine == "host-ref":
         return host_sweep.flt_ov_isoform(opt, d, g)
+    if opt.engine == "host" and _host_native_ok():
+        from . import sweep_native
+        return sweep_native.flt_ov_isoform(opt, d, g)
     from . import sweep_vec
     return sweep_vec.flt_ov_isoform(opt, d, g)

@@ -1,0 +1,154 @@
+"""ctypes wrapper for the native host sweeps (native/pgsweep.c).
+
+Drop-in replacements for ops/sweep_vec.shadow / flt_ov_isoform: same
+in-place column updates, same return counts, IEEE-double predicates. The
+loader compiles pgsweep.c on first use; ``available()`` gates dispatch so
+environments without a compiler silently fall back to the NumPy path.
+Differential tests: tests/test_sweep_vec.py fuzzes native vs the scalar
+oracle on the same corpora as the vectorized engine.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+
+import numpy as np
+
+from ..core.data import DataSet, Genome
+from ..options import PgOpt
+from ..native.loader import build_so
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_HERE, "native", "_pgsweep.so")
+_SRC = os.path.join(_HERE, "native", "pgsweep.c")
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _get_lib():
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not build_so(_SRC, _SO, libs=("-lm",)):
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _failed = True
+            return None
+        lib.pg_sweep_shadow.restype = ctypes.c_int64
+        lib.pg_sweep_shadow.argtypes = [
+            ctypes.c_int64,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u8p, _u8p, _u8p,
+            _i64p, _i64p,
+            _i32p, _i32p,
+            _i32p, _u8p,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+            _u8p, _i32p, _i32p,
+        ]
+        lib.pg_sweep_ov_isoform.restype = ctypes.c_int64
+        lib.pg_sweep_ov_isoform.argtypes = [
+            ctypes.c_int64,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u8p,
+            _i64p, _i64p,
+            _i32p, _i32p,
+            _i32p, _u8p,
+            ctypes.c_int32,
+            _u8p, _u8p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _p(a: np.ndarray, dt, pt):
+    assert a.dtype == dt and a.flags.c_contiguous
+    return a.ctypes.data_as(pt)
+
+
+_EMPTY_I32 = np.zeros(1, np.int32)
+
+
+def _exon_ptrs(g: Genome):
+    eos, eoe = g.exon_os, g.exon_oe
+    if len(eos) == 0:     # never dereferenced when all n_exon == 0
+        eos = eoe = _EMPTY_I32
+    return _p(eos, np.int32, _i32p), _p(eoe, np.int32, _i32p)
+
+
+def _globals(d: DataSet):
+    """Cached prot->gene and gene-preferred arrays (grow-only tables)."""
+    pg = getattr(d, "_c_prot_gid", None)
+    if pg is None or len(pg) != d.n_prot:
+        pg = np.ascontiguousarray(d.prot_gid, np.int32)
+        d._c_prot_gid = pg              # type: ignore[attr-defined]
+    gp = getattr(d, "_c_gene_pref", None)
+    if gp is None or len(gp) != d.n_gene:
+        gp = np.ascontiguousarray(d.gene_preferred, np.uint8)
+        d._c_gene_pref = gp             # type: ignore[attr-defined]
+    if d.n_prot == 0:
+        pg = _EMPTY_I32
+    if d.n_gene == 0:
+        gp = np.zeros(1, np.uint8)
+    return pg, gp
+
+
+def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
+    lib = _get_lib()
+    h = g.hits
+    n = len(h)
+    if n == 0:
+        return 0
+    pg, gp = _globals(d)
+    eos, eoe = _exon_ptrs(g)
+    return int(lib.pg_sweep_shadow(
+        n,
+        _p(h.pid, np.int32, _i32p), _p(h.rank, np.int32, _i32p),
+        _p(h.score_adj, np.int32, _i32p), _p(h.score_ori, np.int32, _i32p),
+        _p(h.n_exon, np.int32, _i32p), _p(h.off_exon, np.int32, _i32p),
+        _p(h.cid, np.int32, _i32p),
+        _p(h.rev, np.uint8, _u8p), _p(h.flt, np.uint8, _u8p),
+        _p(h.weak_br, np.uint8, _u8p),
+        _p(h.cs, np.int64, _i64p), _p(h.ce, np.int64, _i64p),
+        eos, eoe,
+        _p(pg, np.int32, _i32p), _p(gp, np.uint8, _u8p),
+        1 if opt.check_strand else 0, float(opt.min_ov_ratio),
+        1 if cal_dom_sc else 0,
+        _p(h.shadow, np.uint8, _u8p),
+        _p(h.pid_dom, np.int32, _i32p), _p(h.score_dom, np.int32, _i32p)))
+
+
+def flt_ov_isoform(opt: PgOpt, d: DataSet, g: Genome) -> int:
+    lib = _get_lib()
+    h = g.hits
+    n = len(h)
+    if n == 0:
+        return 0
+    pg, gp = _globals(d)
+    eos, eoe = _exon_ptrs(g)
+    return int(lib.pg_sweep_ov_isoform(
+        n,
+        _p(h.pid, np.int32, _i32p), _p(h.rank, np.int32, _i32p),
+        _p(h.score_adj, np.int32, _i32p),
+        _p(h.n_exon, np.int32, _i32p), _p(h.off_exon, np.int32, _i32p),
+        _p(h.cid, np.int32, _i32p), _p(h.rev, np.uint8, _u8p),
+        _p(h.cs, np.int64, _i64p), _p(h.ce, np.int64, _i64p),
+        eos, eoe,
+        _p(pg, np.int32, _i32p), _p(gp, np.uint8, _u8p),
+        1 if opt.check_strand else 0,
+        _p(h.flt_iso_ov, np.uint8, _u8p), _p(h.flt, np.uint8, _u8p)))
