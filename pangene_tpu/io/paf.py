@@ -299,19 +299,34 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
     if nat is None:
         return None
     delim = opt.gene_delim
-    # global ids for this file's unique protein names (first-occurrence order)
-    pid_lut = np.empty(len(nat["prot_names"]), np.int32)
-    gid_lut = np.empty(len(nat["prot_names"]), np.int32)
-    for i, name in enumerate(nat["prot_names"]):
-        di = name.find(delim)
-        gene_name = name[:di] if di >= 0 else name
-        gid = d.add_gene(gene_name)
-        d.gene_preferred[gid] = 1 if (opt.preferred and gene_name in opt.preferred) else 0
-        d.gene_included[gid] = 1 if (opt.incl and gene_name in opt.incl) else 0
-        pid = d.add_prot(name, gid)
-        d.prot_gid[pid] = gid
-        pid_lut[i] = pid
-        gid_lut[i] = gid
+    # global ids for this file's unique protein names (first-occurrence
+    # order). Every genome is typically aligned against the same protein
+    # set, so the name blob repeats byte-identically across files; memoize
+    # the intern pass per blob (pure cache: on a hit every name already has
+    # its global id, so no side effects are skipped).
+    blob = nat["prot_blob"]
+    lut_cache = getattr(d, "_pid_lut_cache", None)
+    if lut_cache is None:
+        lut_cache = d._pid_lut_cache = {}
+    cached = lut_cache.get(blob)
+    if cached is not None:
+        pid_lut, gid_lut = cached
+    else:
+        from ..native.loader import decode_names
+        prot_names = decode_names(blob)
+        pid_lut = np.empty(len(prot_names), np.int32)
+        gid_lut = np.empty(len(prot_names), np.int32)
+        for i, name in enumerate(prot_names):
+            di = name.find(delim)
+            gene_name = name[:di] if di >= 0 else name
+            gid = d.add_gene(gene_name)
+            d.gene_preferred[gid] = 1 if (opt.preferred and gene_name in opt.preferred) else 0
+            d.gene_included[gid] = 1 if (opt.incl and gene_name in opt.incl) else 0
+            pid = d.add_prot(name, gid)
+            d.prot_gid[pid] = gid
+            pid_lut[i] = pid
+            gid_lut[i] = gid
+        lut_cache[blob] = (pid_lut, gid_lut)
     # prot_len: last record per name wins; missing field-1 records reset to 0
     r_name = nat["r_name"]
     r_qlen = nat["r_qlen"]
@@ -319,19 +334,21 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
         order = np.argsort(r_name, kind="stable")
         ns = r_name[order]
         last = order[np.flatnonzero(np.concatenate((ns[1:] != ns[:-1], [True])))]
-        for nid, ql in zip(r_name[last], r_qlen[last]):
-            d.prot_len[pid_lut[nid]] = int(ql) if ql >= 0 else 0
+        pl = np.asarray(d.prot_len, np.int64)
+        tgt = pid_lut[r_name[last]]
+        newv = np.maximum(r_qlen[last].astype(np.int64), 0)
+        chg = np.flatnonzero(pl[tgt] != newv)
+        for k in chg:
+            d.prot_len[int(tgt[k])] = int(newv[k])
         # gene_len = max over records with a parsed qlen
         has = r_qlen >= 0
         if has.any():
-            gmax = {}
-            for nid, ql in zip(r_name[has], r_qlen[has]):
-                g = int(gid_lut[nid])
-                if ql > gmax.get(g, -1):
-                    gmax[g] = int(ql)
-            for g, ql in gmax.items():
-                if d.gene_len[g] < ql:
-                    d.gene_len[g] = ql
+            gmax = np.full(d.n_gene, -1, np.int64)
+            np.maximum.at(gmax, gid_lut[r_name[has]],
+                          r_qlen[has].astype(np.int64))
+            gl = np.asarray(d.gene_len, np.int64)
+            for g in np.flatnonzero(gmax > gl):
+                d.gene_len[int(g)] = int(gmax[g])
     # contigs: per-file table; register names globally; len = last record's
     ctg_names = nat["ctg_names"]
     for name in ctg_names:

@@ -97,24 +97,24 @@ def _arr(lib, getter, handle, dtype):
     return np.frombuffer(buf, dtype=dtype).copy()
 
 
-def _names(lib, which, handle):
+def _names_blob(lib, which, handle) -> bytes:
+    """Raw NUL-separated name blob (names in intern order)."""
     blob_len = ctypes.c_int64()
     n = ctypes.c_int64()
     bptr = getattr(lib, "pg_get_%s_blob" % which)(
         handle, ctypes.byref(blob_len), ctypes.byref(n))
     if int(n.value) == 0:
+        return b""
+    return ctypes.string_at(bptr, int(blob_len.value))
+
+
+def decode_names(blob: bytes):
+    if not blob:
         return []
-    blob = ctypes.string_at(bptr, int(blob_len.value))
-    optr = getattr(lib, "pg_get_%s_offs" % which)(handle)
-    offs = np.frombuffer(
-        (ctypes.c_char * (int(n.value) * 8)).from_address(optr),
-        dtype=np.int64)
-    names = []
-    for i in range(int(n.value)):
-        start = int(offs[i])
-        end = blob.index(b"\0", start)
-        names.append(blob[start:end].decode())
-    return names
+    parts = blob.split(b"\0")
+    if parts and parts[-1] == b"":
+        parts.pop()
+    return [p.decode() for p in parts]
 
 
 def parse_paf_native(fn: str, min_ratio: float, min_iden: float,
@@ -142,8 +142,8 @@ def parse_paf_native(fn: str, min_ratio: float, min_iden: float,
         }
         for name, dt in specs.items():
             out[name] = _arr(lib, getattr(lib, "pg_get_" + name), handle, dt)
-        out["prot_names"] = _names(lib, "prot", handle)
-        out["ctg_names"] = _names(lib, "ctg", handle)
+        out["prot_blob"] = _names_blob(lib, "prot", handle)
+        out["ctg_names"] = decode_names(_names_blob(lib, "ctg", handle))
         out["n_records"] = int(lib.pg_get_n_records(handle))
         return out
     finally:

@@ -153,6 +153,148 @@ int64_t pg_sweep_shadow(
     return n_shadow;
 }
 
+/* transposed [gene][genome] representative tables for locality tests */
+typedef struct {
+    int32_t G;
+    uint8_t *pres;
+    int32_t *cid, *rank;
+    int64_t *cm;
+} rep_t;
+
+static void rep_build(rep_t *r, int32_t n_genome, int32_t n_gene,
+                      const uint8_t *present, const int32_t *cid,
+                      const int32_t *rank, const int64_t *cm)
+{
+    int32_t g, v;
+    r->G = n_genome;
+    r->pres = (uint8_t *)malloc((size_t)n_gene * n_genome);
+    r->cid = (int32_t *)malloc((size_t)n_gene * n_genome * 4);
+    r->rank = (int32_t *)malloc((size_t)n_gene * n_genome * 4);
+    r->cm = (int64_t *)malloc((size_t)n_gene * n_genome * 8);
+    for (g = 0; g < n_genome; ++g)
+        for (v = 0; v < n_gene; ++v) {
+            size_t s = (size_t)g * n_gene + v, t = (size_t)v * n_genome + g;
+            r->pres[t] = present[s];
+            r->cid[t] = cid[s];
+            r->rank[t] = rank[s];
+            r->cm[t] = cm[s];
+        }
+}
+
+static void rep_free(rep_t *r)
+{
+    free(r->pres); free(r->cid); free(r->rank); free(r->cm);
+}
+
+/* pg_n_local semantics (branch.c:31-46) for one gene pair */
+static int32_t rep_n_local(const rep_t *r, int64_t ga, int64_t gb,
+                           int64_t local_dist, int64_t local_count,
+                           int32_t frag_mode)
+{
+    size_t a = (size_t)ga * r->G, b = (size_t)gb * r->G;
+    int32_t g, cnt = 0;
+    for (g = 0; g < r->G; ++g) {
+        int64_t dd, cc;
+        if (!(r->pres[a + g] && r->pres[b + g])) continue;
+        if (!frag_mode && r->cid[a + g] != r->cid[b + g]) continue;
+        dd = r->cm[a + g] - r->cm[b + g];
+        if (dd < 0) dd = -dd;
+        cc = (int64_t)r->rank[a + g] - r->rank[b + g];
+        if (cc < 0) cc = -cc;
+        if (dd <= local_dist || cc <= local_count) ++cnt;
+    }
+    return cnt;
+}
+
+/* Batched cross-genome locality counts for gene pairs (pg_n_local,
+ * branch.c:31-46; semantics of ops/branch.py:n_local_batch). */
+void pg_n_local_batch(
+    int64_t n_pair, int32_t n_genome, int32_t n_gene,
+    const uint8_t *present, const int32_t *cid, const int32_t *rank,
+    const int64_t *cm,
+    const int64_t *g1, const int64_t *g2,
+    int64_t local_dist, int64_t local_count, int32_t frag_mode,
+    int32_t *out)
+{
+    rep_t r;
+    int64_t p;
+    rep_build(&r, n_genome, n_gene, present, cid, rank, cm);
+    for (p = 0; p < n_pair; ++p)
+        out[p] = rep_n_local(&r, g1[p], g2[p],
+                             local_dist, local_count, frag_mode);
+    rep_free(&r);
+}
+
+/* Full branching-arc marking pass (reference pg_mark_branch_flt_arc,
+ * branch.c:48-106): per x-sorted source-vertex group, arcs with relative
+ * score deficit r > branch_diff get weak_br 1 (demote) or 2 (cut, when
+ * r > branch_diff_cut or no cross-genome local co-occurrence with any
+ * max-score sibling and r > branch_diff_dist); per-vertex distant-loci
+ * counts come from greedy locality grouping of the targets. Float
+ * predicates are IEEE double, matching the NumPy path including the
+ * gmax==0 inf/nan behavior. weak_br and n_dist_loci must arrive zeroed.
+ * n_flt[0] += demoted, n_flt[1] += cut. */
+void pg_mark_branch(
+    int64_t n_arc,
+    const uint64_t *x, const int32_t *s1, const int32_t *tgt_gid,
+    int32_t n_genome, int32_t n_gene,
+    const uint8_t *present, const int32_t *cid, const int32_t *rank,
+    const int64_t *cm,
+    double branch_diff, double branch_diff_dist, double branch_diff_cut,
+    int64_t local_dist, int64_t local_count, int32_t frag_mode,
+    uint8_t *weak_br, int32_t *n_dist_loci, int64_t *n_flt)
+{
+    rep_t r;
+    int64_t gs = 0;
+    int32_t cap = 16;
+    int32_t *grp = (int32_t *)malloc(cap * 4);
+    rep_build(&r, n_genome, n_gene, present, cid, rank, cm);
+    while (gs < n_arc) {
+        uint64_t src = x[gs] >> 32;
+        int64_t ge = gs + 1, i, j;
+        int64_t gmax = 0;
+        int32_t n, n_group = 0;
+        while (ge < n_arc && (x[ge] >> 32) == src) ++ge;
+        n = (int32_t)(ge - gs);
+        if (n < 2) { gs = ge; continue; }
+        for (i = gs; i < ge; ++i)
+            if (s1[i] > gmax) gmax = s1[i];
+        for (i = gs; i < ge; ++i) {
+            double rr = 1.0 - (double)s1[i] / (double)gmax;
+            int64_t nloc = 0;
+            int32_t cut;
+            if (!(rr > branch_diff)) continue;
+            for (j = gs; j < ge; ++j)
+                if (s1[j] == gmax)
+                    nloc += rep_n_local(&r, tgt_gid[j], tgt_gid[i],
+                                        local_dist, local_count, frag_mode);
+            cut = (nloc == 0 && rr > branch_diff_dist)
+                || rr > branch_diff_cut;
+            weak_br[i] = cut ? 2 : 1;
+            ++n_flt[cut ? 1 : 0];
+        }
+        /* greedy distant-loci grouping over the group's targets
+         * (branch.c:82-90 semantics as in ops/branch.py) */
+        if (n > cap) {
+            cap = n;
+            grp = (int32_t *)realloc(grp, (size_t)cap * 4);
+        }
+        memset(grp, 0, (size_t)n * 4);
+        for (i = 0; i < n; ++i) {
+            if (grp[i] == 0) grp[i] = ++n_group;
+            for (j = i + 1; j < n; ++j)
+                if (grp[j] == 0
+                    && rep_n_local(&r, tgt_gid[gs + i], tgt_gid[gs + j],
+                                   local_dist, local_count, frag_mode) > 0)
+                    grp[j] = grp[i];
+        }
+        n_dist_loci[src] = n_group;
+        gs = ge;
+    }
+    free(grp);
+    rep_free(&r);
+}
+
 /* Same-gene overlapping-isoform filter; flt_iso_ov and flt updated in
  * place. Returns the count of hits with flt_iso_ov set (including ones set
  * by earlier invocations, matching the Python oracle's mask count). */

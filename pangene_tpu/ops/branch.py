@@ -63,6 +63,9 @@ def n_local_batch(opt: PgOpt, rep_pos, g1: np.ndarray,
     pair count grows with sum(degree^2). Sums over the genome axis; under
     sharding this is the psum reduction.
     """
+    from . import sweep_native
+    if sweep_native.available():
+        return sweep_native.n_local_batch(opt, rep_pos, g1, g2)
     present, cid, rank, cm = rep_pos
     ng = present.shape[1]
     a = np.minimum(g1, g2)
@@ -112,6 +115,15 @@ def mark_branch_flt_arc(opt: PgOpt, g: Graph) -> int:
         return 0
     tgt_gid = g.seg_gid[(arcs.x & np.uint64(0xFFFFFFFF)).astype(np.int64) >> 1] \
         .astype(np.int64)
+    from . import sweep_native
+    if sweep_native.available():
+        n_flt1, n_flt2 = sweep_native.mark_branch(
+            opt, rep_pos, arcs.x, arcs.s1, tgt_gid,
+            arcs.weak_br, g.seg_n_dist_loci)
+        log_msg("pg_mark_branch_flt_arc",
+                "marked %d locally diverged branches and %d distantly "
+                "diverged branches", n_flt1, n_flt2)
+        return n_flt1 + n_flt2
     src = (arcs.x >> np.uint64(32)).astype(np.int64)
     # contiguous per-source groups over the x-sorted arc table
     gstart = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))

@@ -57,6 +57,24 @@ def _get_lib():
             ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
             _u8p, _i32p, _i32p,
         ]
+        lib.pg_n_local_batch.restype = None
+        lib.pg_n_local_batch.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            _u8p, _i32p, _i32p, _i64p,
+            _i64p, _i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _i32p,
+        ]
+        lib.pg_mark_branch.restype = None
+        lib.pg_mark_branch.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), _i32p, _i32p,
+            ctypes.c_int32, ctypes.c_int32,
+            _u8p, _i32p, _i32p, _i64p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _u8p, _i32p, _i64p,
+        ]
         lib.pg_sweep_ov_isoform.restype = ctypes.c_int64
         lib.pg_sweep_ov_isoform.argtypes = [
             ctypes.c_int64,
@@ -131,6 +149,64 @@ def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
         1 if cal_dom_sc else 0,
         _p(h.shadow, np.uint8, _u8p),
         _p(h.pid_dom, np.int32, _i32p), _p(h.score_dom, np.int32, _i32p)))
+
+
+def n_local_batch(opt: PgOpt, rep_pos, g1: np.ndarray,
+                  g2: np.ndarray) -> np.ndarray:
+    """Native pg_n_local over gene-pair batches (branch.c:31-46)."""
+    lib = _get_lib()
+    present, cid, rank, cm = rep_pos
+    G, ng = present.shape
+    out = np.empty(len(g1), np.int32)
+    if len(g1) == 0:
+        return out
+    pres8 = np.ascontiguousarray(present).view(np.uint8)
+    g1c = np.ascontiguousarray(g1, np.int64)
+    g2c = np.ascontiguousarray(g2, np.int64)
+    lib.pg_n_local_batch(
+        len(g1), G, ng,
+        _p(pres8.reshape(-1), np.uint8, _u8p),
+        _p(np.ascontiguousarray(cid).reshape(-1), np.int32, _i32p),
+        _p(np.ascontiguousarray(rank).reshape(-1), np.int32, _i32p),
+        _p(np.ascontiguousarray(cm).reshape(-1), np.int64, _i64p),
+        _p(g1c, np.int64, _i64p), _p(g2c, np.int64, _i64p),
+        int(opt.local_dist), int(opt.local_count),
+        1 if opt.frag_mode else 0,
+        _p(out, np.int32, _i32p))
+    return out
+
+
+def mark_branch(opt: PgOpt, rep_pos, x: np.ndarray, s1: np.ndarray,
+                tgt_gid: np.ndarray, weak_br: np.ndarray,
+                n_dist_loci: np.ndarray):
+    """Native full branching-arc pass (branch.c:48-106). weak_br [n_arc]
+    and n_dist_loci [n_seg, 2] are filled in place; returns
+    (n_demoted, n_cut)."""
+    lib = _get_lib()
+    present, cid, rank, cm = rep_pos
+    G, ng = present.shape
+    n_flt = np.zeros(2, np.int64)
+    if len(x) == 0:
+        return 0, 0
+    pres8 = np.ascontiguousarray(present).view(np.uint8)
+    lib.pg_mark_branch(
+        len(x),
+        _p(x, np.uint64, ctypes.POINTER(ctypes.c_uint64)),
+        _p(np.ascontiguousarray(s1, np.int32), np.int32, _i32p),
+        _p(np.ascontiguousarray(tgt_gid, np.int32), np.int32, _i32p),
+        G, ng,
+        _p(pres8.reshape(-1), np.uint8, _u8p),
+        _p(np.ascontiguousarray(cid).reshape(-1), np.int32, _i32p),
+        _p(np.ascontiguousarray(rank).reshape(-1), np.int32, _i32p),
+        _p(np.ascontiguousarray(cm).reshape(-1), np.int64, _i64p),
+        float(opt.branch_diff), float(opt.branch_diff_dist),
+        float(opt.branch_diff_cut),
+        int(opt.local_dist), int(opt.local_count),
+        1 if opt.frag_mode else 0,
+        _p(weak_br, np.uint8, _u8p),
+        _p(n_dist_loci.reshape(-1), np.int32, _i32p),
+        _p(n_flt, np.int64, _i64p))
+    return int(n_flt[0]), int(n_flt[1])
 
 
 def flt_ov_isoform(opt: PgOpt, d: DataSet, g: Genome) -> int:

@@ -56,3 +56,86 @@ def test_ov_isoform_native_vs_oracle(seed):
     assert n1 == n2
     np.testing.assert_array_equal(g.hits.flt_iso_ov, g2.hits.flt_iso_ov)
     np.testing.assert_array_equal(g.hits.flt, g2.hits.flt)
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("frag", [False, True])
+def test_n_local_native_vs_numpy(seed, frag):
+    from pangene_tpu.ops import branch
+    rng = np.random.default_rng(200 + seed)
+    G, ng, P = 7, 60, 500
+    opt = PgOpt()
+    opt.local_dist = 1000
+    opt.local_count = 3
+    if frag:
+        from pangene_tpu.options import PG_F_FRAG_MODE
+        opt.flag |= PG_F_FRAG_MODE
+    rep_pos = (rng.random((G, ng)) < 0.7,
+               rng.integers(0, 3, (G, ng), dtype=np.int32),
+               rng.integers(0, 40, (G, ng), dtype=np.int32),
+               rng.integers(0, 20000, (G, ng), dtype=np.int64))
+    g1 = rng.integers(0, ng, P, dtype=np.int64)
+    g2 = rng.integers(0, ng, P, dtype=np.int64)
+    got = sweep_native.n_local_batch(opt, rep_pos, g1, g2)
+    # NumPy fallback path (dedupe+broadcast) from branch.py
+    import importlib
+    present, cid, rank, cm = rep_pos
+    a, b = np.minimum(g1, g2), np.maximum(g1, g2)
+    keys = a * np.int64(ng) + b
+    uniq, inv = np.unique(keys, return_inverse=True)
+    ua, ub = (uniq // ng).astype(np.int64), (uniq % ng).astype(np.int64)
+    ok = present[:, ua] & present[:, ub]
+    if not opt.frag_mode:
+        ok &= cid[:, ua] == cid[:, ub]
+    dd = np.abs(cm[:, ua] - cm[:, ub])
+    cc = np.abs(rank[:, ua].astype(np.int64) - rank[:, ub].astype(np.int64))
+    want = (ok & ((dd <= opt.local_dist) | (cc <= opt.local_count))) \
+        .sum(axis=0, dtype=np.int32)[inv]
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_mark_branch_native_vs_numpy(seed):
+    """Full branching-arc pass: native C vs the NumPy ragged path on a
+    random graph over random representative positions."""
+    from pangene_tpu.graph.graphdata import ArcTable, Graph
+    from pangene_tpu.ops import branch
+    rng = np.random.default_rng(300 + seed)
+    d, g0 = random_genome(rng, n_hits=150)
+    d2, g2 = clone(d, g0)
+    opt = PgOpt()
+    opt.local_dist = 2000
+    opt.local_count = 2
+
+    def build_graph(dd):
+        q = Graph(dd)
+        ng = dd.n_gene
+        q.seg_gid = np.arange(ng, dtype=np.int32)
+        q.seg_n_dist_loci = np.zeros((ng, 2), np.int32)
+        n_arc = 60
+        v = rng.integers(0, ng * 2, n_arc).astype(np.uint64)
+        w = rng.integers(0, ng * 2, n_arc).astype(np.uint64)
+        x = np.unique((v << np.uint64(32)) | w)
+        arcs = ArcTable.empty(len(x))
+        arcs.x = x
+        arcs.s1 = rng.integers(0, 50, len(x)).astype(np.int32)
+        q.arcs = arcs
+        return q
+
+    rng_state = rng.bit_generator.state
+    qa = build_graph(d)
+    rng.bit_generator.state = rng_state
+    qb = build_graph(d2)
+    np.testing.assert_array_equal(qa.arcs.x, qb.arcs.x)
+
+    n1 = branch.mark_branch_flt_arc(opt, qa)     # native (available)
+    import pangene_tpu.ops.sweep_native as sn
+    orig = sn.available
+    sn.available = lambda: False
+    try:
+        n2 = branch.mark_branch_flt_arc(opt, qb)  # NumPy ragged path
+    finally:
+        sn.available = orig
+    assert n1 == n2
+    np.testing.assert_array_equal(qa.arcs.weak_br, qb.arcs.weak_br)
+    np.testing.assert_array_equal(qa.seg_n_dist_loci, qb.seg_n_dist_loci)
