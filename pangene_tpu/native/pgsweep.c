@@ -295,6 +295,179 @@ void pg_mark_branch(
     rep_free(&r);
 }
 
+/* ---------------- arc extraction / dedupe / merge ---------------- */
+
+typedef struct { uint64_t x; int64_t d; int32_t s1, s2; } tmparc_t;
+
+static int tmparc_cmp(const void *a, const void *b)
+{
+    uint64_t xa = ((const tmparc_t *)a)->x, xb = ((const tmparc_t *)b)->x;
+    return xa < xb ? -1 : xa > xb ? 1 : 0;
+}
+
+/* Per-genome gene-walk arc extraction + dedupe (pg_gen_arc per-genome part,
+ * graph.c:106-145; semantics of ops/arcs.py walk_extract + dedupe_genome).
+ * view (may be NULL) is the cm-order index vector over the cs-physical hit
+ * columns. Each adjacent kept pair on one contig emits the arc and its
+ * complement; dedupe groups by x with count / +.499-rounded mean distance /
+ * max scores. seg_cnt (caller-zeroed, [n_seg]) receives per-segment kept-
+ * hit counts. Output buffers must hold 2*(n-1) entries; returns the number
+ * of deduped arcs, or -1 when a kept hit maps to a deleted segment. */
+int64_t pg_walk_arcs(
+    int64_t n, const int64_t *view,
+    const uint8_t *flt, const uint8_t *shadow,
+    const int32_t *pid, const uint8_t *rev, const int32_t *cid,
+    const int64_t *cm,
+    const int32_t *score_ori, const int32_t *score_dom,
+    const int32_t *pid_dom0,
+    const int32_t *prot_gid, const int32_t *g2s,
+    int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
+    uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
+    int32_t *out_s1, int32_t *out_s2)
+{
+    int64_t k, m = 0, prev = -1;
+    int64_t prev_w = 0, prev_sc = 0;
+    tmparc_t *tmp = (tmparc_t *)malloc((n > 1 ? 2 * (n - 1) : 1)
+                                       * sizeof(tmparc_t));
+    int64_t n_tmp = 0, w_out;
+    for (k = 0; k < n; ++k) {
+        int64_t i = view ? view[k] : k;
+        int64_t sid, w, sc;
+        if (flt[i] || shadow[i]) continue;
+        sid = g2s[prot_gid[pid[i]]];
+        if (sid < 0) { free(tmp); return -1; }
+        if (sid < n_seg) ++seg_cnt[sid];
+        w = (sid << 1) | rev[i];
+        if (use_ori || score_ori[i] > score_dom[i] || pid_dom0[i] < 0
+            || g2s[prot_gid[pid_dom0[i]]] >= 0)
+            sc = score_ori[i];
+        else
+            sc = score_dom[i];
+        if (prev >= 0 && cid[prev] == cid[i]) {
+            int64_t dist = cm[i] - cm[prev];
+            tmp[n_tmp].x = ((uint64_t)prev_w << 32) | (uint64_t)w;
+            tmp[n_tmp].d = dist;
+            tmp[n_tmp].s1 = (int32_t)prev_sc;
+            tmp[n_tmp].s2 = (int32_t)sc;
+            ++n_tmp;
+            tmp[n_tmp].x = ((uint64_t)(w ^ 1) << 32) | (uint64_t)(prev_w ^ 1);
+            tmp[n_tmp].d = dist;
+            tmp[n_tmp].s1 = (int32_t)sc;
+            tmp[n_tmp].s2 = (int32_t)prev_sc;
+            ++n_tmp;
+        }
+        prev = i; prev_w = w; prev_sc = sc;
+    }
+    qsort(tmp, n_tmp, sizeof(tmparc_t), tmparc_cmp);
+    for (k = 0; k < n_tmp; ) {
+        /* group max seeded with 0, matching the NumPy maximum.at-into-
+         * zeros dedupe (scores are non-negative in practice) */
+        int64_t e = k + 1, cnt, dsum = tmp[k].d;
+        int32_t m1 = tmp[k].s1 > 0 ? tmp[k].s1 : 0;
+        int32_t m2 = tmp[k].s2 > 0 ? tmp[k].s2 : 0;
+        while (e < n_tmp && tmp[e].x == tmp[k].x) {
+            dsum += tmp[e].d;
+            if (tmp[e].s1 > m1) m1 = tmp[e].s1;
+            if (tmp[e].s2 > m2) m2 = tmp[e].s2;
+            ++e;
+        }
+        cnt = e - k;
+        out_x[m] = tmp[k].x;
+        out_n[m] = (int32_t)cnt;
+        out_dist[m] = (int32_t)(int64_t)((double)dsum / (double)cnt + 0.499);
+        out_s1[m] = m1;
+        out_s2[m] = m2;
+        ++m;
+        k = e;
+    }
+    free(tmp);
+    w_out = m;
+    return w_out;
+}
+
+typedef struct {
+    uint64_t x; int64_t n, d, s1, s2;
+} marc_t;
+
+static int marc_cmp(const void *a, const void *b)
+{
+    uint64_t xa = ((const marc_t *)a)->x, xb = ((const marc_t *)b)->x;
+    return xa < xb ? -1 : xa > xb ? 1 : 0;
+}
+
+/* Cross-genome arc merge (graph.c:151-175; ops/arcs.py merge_arcs).
+ * Inputs are the concatenated per-genome deduped lists. Averages use
+ * exact integer sums with one double +.499 rounding, so the result is
+ * independent of genome order and shard count. Returns #unique arcs. */
+int64_t pg_merge_arcs(
+    int64_t n_in, const uint64_t *x, const int32_t *n,
+    const int32_t *dist, const int32_t *s1, const int32_t *s2,
+    uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
+    int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2)
+{
+    marc_t *tmp = (marc_t *)malloc((n_in ? n_in : 1) * sizeof(marc_t));
+    int64_t k, m = 0;
+    for (k = 0; k < n_in; ++k) {
+        tmp[k].x = x[k];
+        tmp[k].n = n[k];
+        tmp[k].d = (int64_t)dist[k] * n[k];
+        tmp[k].s1 = s1[k];
+        tmp[k].s2 = s2[k];
+    }
+    qsort(tmp, n_in, sizeof(marc_t), marc_cmp);
+    for (k = 0; k < n_in; ) {
+        int64_t e = k, ng = 0, tot = 0, dsum = 0, s1sum = 0, s2sum = 0;
+        while (e < n_in && tmp[e].x == tmp[k].x) {
+            ++ng; tot += tmp[e].n; dsum += tmp[e].d;
+            s1sum += tmp[e].s1; s2sum += tmp[e].s2;
+            ++e;
+        }
+        out_x[m] = tmp[k].x;
+        out_ng[m] = (int32_t)ng;
+        out_tot[m] = (int32_t)tot;
+        out_avg_dist[m] = (int32_t)(int64_t)((double)dsum / (double)tot + 0.499);
+        out_s1[m] = (int32_t)(int64_t)((double)s1sum / (double)ng + 0.499);
+        out_s2[m] = (int32_t)(int64_t)((double)s2sum / (double)ng + 0.499);
+        ++m;
+        k = e;
+    }
+    free(tmp);
+    return m;
+}
+
+/* Arc weak_br -> incident-hit propagation for one genome
+ * (pg_mark_branch_flt_hit, branch.c:108-145; ops/branch.py semantics).
+ * keep is the kept-hit row-id list in cm order; arc_x is the x-sorted arc
+ * table searched by binary search in both walk directions. */
+void pg_propagate_weak(
+    int64_t n_keep, const int64_t *keep,
+    const int32_t *pid, const uint8_t *rev, const int32_t *cid,
+    const int32_t *prot_gid, const int32_t *g2s,
+    int64_t n_arc, const uint64_t *arc_x, const uint8_t *arc_w,
+    uint8_t *weak_br)
+{
+    int64_t k;
+    for (k = 1; k < n_keep; ++k) {
+        int64_t i0 = keep[k - 1], i1 = keep[k];
+        uint64_t v, w, key;
+        int d;
+        if (cid[i0] != cid[i1]) continue;
+        v = ((uint64_t)g2s[prot_gid[pid[i0]]] << 1) | rev[i0];
+        w = ((uint64_t)g2s[prot_gid[pid[i1]]] << 1) | rev[i1];
+        for (d = 0; d < 2; ++d) {
+            int64_t lo = 0, hi = n_arc;
+            int64_t tgt = d == 0 ? i0 : i1;
+            key = d == 0 ? (v << 32) | w : ((w ^ 1) << 32) | (v ^ 1);
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (arc_x[mid] < key) lo = mid + 1; else hi = mid;
+            }
+            if (lo < n_arc && arc_x[lo] == key && arc_w[lo] > weak_br[tgt])
+                weak_br[tgt] = arc_w[lo];
+        }
+    }
+}
+
 /* Same-gene overlapping-isoform filter; flt_iso_ov and flt updated in
  * place. Returns the count of hits with flt_iso_ov set (including ones set
  * by earlier invocations, matching the Python oracle's mask count). */

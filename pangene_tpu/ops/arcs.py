@@ -22,7 +22,7 @@ from ..core.data import DataSet, Genome
 from ..graph.graphdata import ArcTable, Graph
 from ..options import PgOpt
 from . import dispatch as sweep
-from .sort import hit_sort
+from .sort import cm_cycle_view, hit_sort
 
 
 def get_score(g: Graph, h, i: int, use_ori: bool) -> int:
@@ -34,14 +34,21 @@ def get_score(g: Graph, h, i: int, use_ori: bool) -> int:
     return int(h.score_dom[i])
 
 
-def walk_extract(g: Graph, gen: Genome, use_ori: bool
+def walk_extract(g: Graph, gen: Genome, use_ori: bool, view=None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Adjacency pairs from one genome's cm-sorted kept hits
-    (graph.c:106-122). Returns (x, dist, s1, s2, sid_counts-compatible sids)."""
+    (graph.c:106-122). Returns (x, dist, s1, s2, sid_counts-compatible sids).
+
+    view: optional cm-order index vector (ops/sort.cm_cycle_view); when
+    given, the hit table is read through it instead of being physically
+    cm-sorted."""
     h = gen.hits
     prot_gid = np.asarray(g.d.prot_gid, np.int32)
-    keep = (h.flt == 0) & (h.shadow == 0)
-    ki = np.flatnonzero(keep)
+    if view is None:
+        keep = (h.flt == 0) & (h.shadow == 0)
+        ki = np.flatnonzero(keep)
+    else:
+        ki = view[np.flatnonzero((h.flt[view] == 0) & (h.shadow[view] == 0))]
     sid = g.g2s[prot_gid[h.pid[ki]]].astype(np.int64)
     assert (sid >= 0).all(), "kept hit maps to deleted segment"
     w = (sid << 1) | h.rev[ki].astype(np.int64)
@@ -157,20 +164,58 @@ def gen_arc(opt: PgOpt, g: Graph) -> None:
 def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
     """Per-genome-loop gen_arc: re-shadow, sort by cm, walk-extract,
     per-genome dedupe; then the global merge. Segment n_genome/tot_cnt
-    counters are refreshed here."""
+    counters are refreshed here. The walk/dedupe/merge run natively
+    (pgsweep.c) when a compiler is available, else in NumPy — identical
+    outputs (exact integer sums, one double +.499 rounding)."""
     d = g.d
     use_ori = opt.use_ori_for_branch
     g.seg_n_genome = np.zeros(g.n_seg, np.int32)
     g.seg_tot_cnt = np.zeros(g.n_seg, np.int32)
+    from . import sweep_native
+    native = opt.engine == "host" and sweep_native.available()
     per_genome = []
     for j, gen in enumerate(d.genomes):
         sweep.shadow(opt, d, gen, cal_dom_sc=False)
-        hit_sort(gen, by_cm=True)
-        x, dist, s1, s2, sids = walk_extract(g, gen, use_ori)
-        hit_sort(gen, by_cm=False)
+        view = cm_cycle_view(gen)
+        if native:
+            if view is None:
+                hit_sort(gen, by_cm=True)
+            x, n, dist, s1, s2, seg_cnt = sweep_native.walk_arcs(
+                d, gen, g.g2s, use_ori, g.n_seg,
+                view if view is not None else None)
+            if view is None:
+                hit_sort(gen, by_cm=False)
+            if g.n_seg:
+                g.seg_n_genome += (seg_cnt > 0).astype(np.int32)
+                g.seg_tot_cnt += seg_cnt
+            per_genome.append((x, n, dist, s1, s2))
+            continue
+        if view is None:
+            hit_sort(gen, by_cm=True)
+        x, dist, s1, s2, sids = walk_extract(g, gen, use_ori, view=view)
+        if view is None:
+            hit_sort(gen, by_cm=False)
         if g.n_seg:
             cnts = np.bincount(sids, minlength=g.n_seg)
             g.seg_n_genome += (cnts > 0).astype(np.int32)
             g.seg_tot_cnt += cnts.astype(np.int32)
         per_genome.append(dedupe_genome(x, dist, s1, s2))
+    if native:
+        xs = np.concatenate([p[0] for p in per_genome]) \
+            if per_genome else np.zeros(0, np.uint64)
+        ns = np.concatenate([p[1] for p in per_genome]) \
+            if per_genome else np.zeros(0, np.int32)
+        ds = np.concatenate([p[2] for p in per_genome]) \
+            if per_genome else np.zeros(0, np.int32)
+        s1s = np.concatenate([p[3] for p in per_genome]) \
+            if per_genome else np.zeros(0, np.int32)
+        s2s = np.concatenate([p[4] for p in per_genome]) \
+            if per_genome else np.zeros(0, np.int32)
+        ox, ong, otot, oavg, os1, os2 = sweep_native.merge_arcs_native(
+            xs, ns, ds, s1s, s2s)
+        out = ArcTable.empty(len(ox))
+        out.x, out.n_genome, out.tot_cnt = ox, ong, otot
+        out.avg_dist, out.s1, out.s2 = oavg, os1, os2
+        g.arcs = out
+        return
     g.arcs = merge_arcs(per_genome)

@@ -21,7 +21,7 @@ from ..core.data import DataSet
 from ..graph.graphdata import Graph
 from ..options import PgOpt
 from ..util import log_msg
-from .sort import hit_sort
+from .sort import cm_cycle_view, hit_sort
 
 
 def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
@@ -228,12 +228,21 @@ def mark_branch_flt_hit(opt: PgOpt, g: Graph) -> int:
     prot_gid = np.asarray(d.prot_gid, np.int32)
     arc_x = g.arcs.x
     arc_w = g.arcs.weak_br
+    from . import sweep_native
+    native = sweep_native.available()
     n_flt = 0
     for gen in d.genomes:
         h = gen.hits
-        hit_sort(gen, by_cm=True)
-        keep = np.flatnonzero((h.flt == 0) & (h.shadow == 0))
-        if len(keep) >= 2 and len(arc_x):
+        view = cm_cycle_view(gen)
+        if view is None:
+            hit_sort(gen, by_cm=True)
+            keep = np.flatnonzero((h.flt == 0) & (h.shadow == 0))
+        else:
+            keep = view[np.flatnonzero((h.flt[view] == 0)
+                                       & (h.shadow[view] == 0))]
+        if native and len(keep) >= 2 and len(arc_x):
+            sweep_native.propagate_weak(d, gen, g.g2s, keep, arc_x, arc_w)
+        elif len(keep) >= 2 and len(arc_x):
             sid = g.g2s[prot_gid[h.pid[keep]]].astype(np.int64)
             w = (sid << 1) | h.rev[keep].astype(np.int64)
             same = h.cid[keep[1:]] == h.cid[keep[:-1]]
@@ -252,6 +261,7 @@ def mark_branch_flt_hit(opt: PgOpt, g: Graph) -> int:
                 wk = np.where(found, arc_w[posc], 0).astype(np.uint8)
                 np.maximum.at(h.weak_br, tgt, wk)
         n_flt += int((h.weak_br != 0).sum())
-        hit_sort(gen, by_cm=False)
+        if view is None:
+            hit_sort(gen, by_cm=False)
     log_msg("pg_mark_branch_flt_hit", "marked %d diverged hits", n_flt)
     return n_flt

@@ -53,6 +53,26 @@ def _get_cache(g: Genome) -> _SortCache:
     return c
 
 
+def cm_cycle_view(g: Genome):
+    """If the cm->cs round trip from the current order state is a known
+    cycle (state S --cm--> T --cs--> S, both transitions cached), return
+    the cm-order index vector: gathering rows through it is bit-identical
+    to physically sorting to cm, computing, and sorting back, because the
+    two permutations compose to the identity (fingerprint-equal orders).
+    Returns None when the cycle is not (yet) established; callers then do
+    the physical round trip, which populates the cache for next round."""
+    c = _get_cache(g)
+    fwd = c.trans.get((c.state, True))
+    if fwd is None:
+        return None
+    perm, t = fwd
+    back = c.trans.get((t, False))
+    if back is None or back[1] != c.state:
+        return None
+    n = len(g.hits)
+    return perm if perm is not None else np.arange(n, dtype=np.int64)
+
+
 def hit_sort(g: Genome, by_cm: bool) -> None:
     """In-place sort of a genome's hits (reference pg_hit_sort, hit.c:29-64)."""
     c = _get_cache(g)

@@ -65,6 +65,29 @@ def _get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             _i32p,
         ]
+        _u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.pg_walk_arcs.restype = ctypes.c_int64
+        lib.pg_walk_arcs.argtypes = [
+            ctypes.c_int64, _i64p,
+            _u8p, _u8p, _i32p, _u8p, _i32p, _i64p,
+            _i32p, _i32p, _i32p,
+            _i32p, _i32p,
+            ctypes.c_int32, ctypes.c_int32, _i32p,
+            _u64p, _i32p, _i32p, _i32p, _i32p,
+        ]
+        lib.pg_merge_arcs.restype = ctypes.c_int64
+        lib.pg_merge_arcs.argtypes = [
+            ctypes.c_int64, _u64p, _i32p, _i32p, _i32p, _i32p,
+            _u64p, _i32p, _i32p, _i32p, _i32p, _i32p,
+        ]
+        lib.pg_propagate_weak.restype = None
+        lib.pg_propagate_weak.argtypes = [
+            ctypes.c_int64, _i64p,
+            _i32p, _u8p, _i32p,
+            _i32p, _i32p,
+            ctypes.c_int64, _u64p, _u8p,
+            _u8p,
+        ]
         lib.pg_mark_branch.restype = None
         lib.pg_mark_branch.argtypes = [
             ctypes.c_int64,
@@ -207,6 +230,91 @@ def mark_branch(opt: PgOpt, rep_pos, x: np.ndarray, s1: np.ndarray,
         _p(n_dist_loci.reshape(-1), np.int32, _i32p),
         _p(n_flt, np.int64, _i64p))
     return int(n_flt[0]), int(n_flt[1])
+
+
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+
+
+def walk_arcs(d: DataSet, gen: Genome, g2s: np.ndarray, use_ori: bool,
+              n_seg: int, view):
+    """Native walk-extract + per-genome dedupe. Returns
+    (x, n, dist, s1, s2, seg_cnt)."""
+    lib = _get_lib()
+    h = gen.hits
+    n = len(h)
+    pg, _ = _globals(d)
+    cap = max(2 * (n - 1), 1) if n > 1 else 1
+    out_x = np.empty(cap, np.uint64)
+    out_n = np.empty(cap, np.int32)
+    out_dist = np.empty(cap, np.int32)
+    out_s1 = np.empty(cap, np.int32)
+    out_s2 = np.empty(cap, np.int32)
+    seg_cnt = np.zeros(max(n_seg, 1), np.int32)
+    if n == 0:
+        return (out_x[:0], out_n[:0], out_dist[:0], out_s1[:0], out_s2[:0],
+                seg_cnt[:n_seg])
+    g2sc = np.ascontiguousarray(g2s, np.int32)
+    vp = _p(view, np.int64, _i64p) if view is not None else None
+    m = int(lib.pg_walk_arcs(
+        n, vp,
+        _p(h.flt, np.uint8, _u8p), _p(h.shadow, np.uint8, _u8p),
+        _p(h.pid, np.int32, _i32p), _p(h.rev, np.uint8, _u8p),
+        _p(h.cid, np.int32, _i32p), _p(h.cm, np.int64, _i64p),
+        _p(h.score_ori, np.int32, _i32p), _p(h.score_dom, np.int32, _i32p),
+        _p(h.pid_dom0, np.int32, _i32p),
+        _p(pg, np.int32, _i32p), _p(g2sc, np.int32, _i32p),
+        1 if use_ori else 0, n_seg, _p(seg_cnt, np.int32, _i32p),
+        _p(out_x, np.uint64, _u64p), _p(out_n, np.int32, _i32p),
+        _p(out_dist, np.int32, _i32p),
+        _p(out_s1, np.int32, _i32p), _p(out_s2, np.int32, _i32p)))
+    assert m >= 0, "kept hit maps to deleted segment"
+    return (out_x[:m], out_n[:m], out_dist[:m], out_s1[:m], out_s2[:m],
+            seg_cnt[:n_seg])
+
+
+def merge_arcs_native(x, n, dist, s1, s2):
+    """Native cross-genome arc merge on pre-concatenated per-genome lists.
+    Returns (x, n_genome, tot_cnt, avg_dist, s1, s2)."""
+    lib = _get_lib()
+    n_in = len(x)
+    cap = max(n_in, 1)
+    ox = np.empty(cap, np.uint64)
+    ong = np.empty(cap, np.int32)
+    otot = np.empty(cap, np.int32)
+    oavg = np.empty(cap, np.int32)
+    os1 = np.empty(cap, np.int32)
+    os2 = np.empty(cap, np.int32)
+    if n_in == 0:
+        return ox[:0], ong[:0], otot[:0], oavg[:0], os1[:0], os2[:0]
+    m = int(lib.pg_merge_arcs(
+        n_in, _p(x, np.uint64, _u64p),
+        _p(np.ascontiguousarray(n, np.int32), np.int32, _i32p),
+        _p(np.ascontiguousarray(dist, np.int32), np.int32, _i32p),
+        _p(np.ascontiguousarray(s1, np.int32), np.int32, _i32p),
+        _p(np.ascontiguousarray(s2, np.int32), np.int32, _i32p),
+        _p(ox, np.uint64, _u64p), _p(ong, np.int32, _i32p),
+        _p(otot, np.int32, _i32p), _p(oavg, np.int32, _i32p),
+        _p(os1, np.int32, _i32p), _p(os2, np.int32, _i32p)))
+    return ox[:m], ong[:m], otot[:m], oavg[:m], os1[:m], os2[:m]
+
+
+def propagate_weak(d: DataSet, gen: Genome, g2s: np.ndarray,
+                   keep: np.ndarray, arc_x: np.ndarray,
+                   arc_w: np.ndarray) -> None:
+    """Native arc->hit weak_br propagation for one genome's kept list."""
+    lib = _get_lib()
+    h = gen.hits
+    pg, _ = _globals(d)
+    keepc = np.ascontiguousarray(keep, np.int64)
+    lib.pg_propagate_weak(
+        len(keepc), _p(keepc, np.int64, _i64p),
+        _p(h.pid, np.int32, _i32p), _p(h.rev, np.uint8, _u8p),
+        _p(h.cid, np.int32, _i32p),
+        _p(pg, np.int32, _i32p),
+        _p(np.ascontiguousarray(g2s, np.int32), np.int32, _i32p),
+        len(arc_x), _p(arc_x, np.uint64, _u64p),
+        _p(arc_w, np.uint8, _u8p),
+        _p(h.weak_br, np.uint8, _u8p))
 
 
 def flt_ov_isoform(opt: PgOpt, d: DataSet, g: Genome) -> int:

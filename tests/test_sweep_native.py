@@ -139,3 +139,51 @@ def test_mark_branch_native_vs_numpy(seed):
     assert n1 == n2
     np.testing.assert_array_equal(qa.arcs.weak_br, qb.arcs.weak_br)
     np.testing.assert_array_equal(qa.seg_n_dist_loci, qb.seg_n_dist_loci)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_gen_arc_native_vs_numpy(seed):
+    """Native walk/dedupe/merge vs the NumPy path on a random multi-genome
+    dataset: identical ArcTable and segment counters."""
+    from pangene_tpu.graph.graphdata import Graph
+    from pangene_tpu.ops import arcs as arcs_mod
+    rng = np.random.default_rng(400 + seed)
+    d, _ = random_genome(rng, n_hits=160)
+    # add two more genomes over the same gene/protein tables
+    from test_device_engine import random_genome as rg
+    for extra_seed in (2, 3):
+        rng2 = np.random.default_rng(400 + seed + 1000 * extra_seed)
+        d_extra, g_extra = rg(rng2, n_hits=120)
+        # remap onto d's tables: reuse pid space if compatible, else clip
+        h = g_extra.hits
+        h.set("pid", np.minimum(h.pid, np.int32(d.n_prot - 1)))
+        d.genomes.append(g_extra)
+
+    def build(dd, engine):
+        import copy
+        d2 = type(dd).new()
+        d2.__dict__.update({k: v for k, v in dd.__dict__.items()
+                            if k not in ("genomes",)})
+        from pangene_tpu.core.data import Genome
+        d2.genomes = [Genome(g.label, g.ctg_names, g.ctg_len, g.hits.copy(),
+                             g.exon_os.copy(), g.exon_oe.copy())
+                      for g in dd.genomes]
+        q = Graph(d2)
+        ng = d2.n_gene
+        q.seg_gid = np.arange(ng, dtype=np.int32)
+        q.gen_g2s()
+        q.seg_n_dist_loci = np.zeros((ng, 2), np.int32)
+        opt = PgOpt(engine=engine)
+        arcs_mod.gen_arc_loop(opt, q)
+        return q
+
+    qa = build(d, "host")       # native
+    qb = build(d, "host-vec")   # NumPy walk/dedupe/merge
+    np.testing.assert_array_equal(qa.arcs.x, qb.arcs.x)
+    np.testing.assert_array_equal(qa.arcs.n_genome, qb.arcs.n_genome)
+    np.testing.assert_array_equal(qa.arcs.tot_cnt, qb.arcs.tot_cnt)
+    np.testing.assert_array_equal(qa.arcs.avg_dist, qb.arcs.avg_dist)
+    np.testing.assert_array_equal(qa.arcs.s1, qb.arcs.s1)
+    np.testing.assert_array_equal(qa.arcs.s2, qb.arcs.s2)
+    np.testing.assert_array_equal(qa.seg_n_genome, qb.seg_n_genome)
+    np.testing.assert_array_equal(qa.seg_tot_cnt, qb.seg_tot_cnt)
