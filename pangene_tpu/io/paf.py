@@ -316,16 +316,24 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
         prot_names = decode_names(blob)
         pid_lut = np.empty(len(prot_names), np.int32)
         gid_lut = np.empty(len(prot_names), np.int32)
+        # name -> (pid, gid) memo: files intern the same names in different
+        # orders, so the blob cache misses but individual names repeat
+        name_lut = getattr(d, "_name_lut", None)
+        if name_lut is None:
+            name_lut = d._name_lut = {}
         for i, name in enumerate(prot_names):
-            di = name.find(delim)
-            gene_name = name[:di] if di >= 0 else name
-            gid = d.add_gene(gene_name)
-            d.gene_preferred[gid] = 1 if (opt.preferred and gene_name in opt.preferred) else 0
-            d.gene_included[gid] = 1 if (opt.incl and gene_name in opt.incl) else 0
-            pid = d.add_prot(name, gid)
-            d.prot_gid[pid] = gid
-            pid_lut[i] = pid
-            gid_lut[i] = gid
+            hit = name_lut.get(name)
+            if hit is None:
+                di = name.find(delim)
+                gene_name = name[:di] if di >= 0 else name
+                gid = d.add_gene(gene_name)
+                d.gene_preferred[gid] = 1 if (opt.preferred and gene_name in opt.preferred) else 0
+                d.gene_included[gid] = 1 if (opt.incl and gene_name in opt.incl) else 0
+                pid = d.add_prot(name, gid)
+                d.prot_gid[pid] = gid
+                name_lut[name] = hit = (pid, gid)
+            pid_lut[i] = hit[0]
+            gid_lut[i] = hit[1]
         lut_cache[blob] = (pid_lut, gid_lut)
     # prot_len: last record per name wins; missing field-1 records reset to 0
     r_name = nat["r_name"]

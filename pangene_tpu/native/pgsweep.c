@@ -299,10 +299,37 @@ void pg_mark_branch(
 
 typedef struct { uint64_t x; int64_t d; int32_t s1, s2; } tmparc_t;
 
-static int tmparc_cmp(const void *a, const void *b)
+/* stable LSD radix sort of (key, index) pairs; empty byte passes skipped */
+static void radix_sort_u64(uint64_t *keys, uint32_t *idx, int64_t n)
 {
-    uint64_t xa = ((const tmparc_t *)a)->x, xb = ((const tmparc_t *)b)->x;
-    return xa < xb ? -1 : xa > xb ? 1 : 0;
+    uint64_t *ka = keys, *kb = (uint64_t *)malloc(n * 8);
+    uint32_t *ia = idx, *ib = (uint32_t *)malloc(n * 4);
+    int64_t cnt[256], pos[256], i;
+    int pass;
+    for (pass = 0; pass < 8; ++pass) {
+        int sh = pass * 8;
+        uint64_t *kt; uint32_t *it;
+        memset(cnt, 0, sizeof(cnt));
+        for (i = 0; i < n; ++i) ++cnt[(ka[i] >> sh) & 0xff];
+        if (n && cnt[(ka[0] >> sh) & 0xff] == n) continue;
+        pos[0] = 0;
+        for (i = 1; i < 256; ++i) pos[i] = pos[i - 1] + cnt[i - 1];
+        for (i = 0; i < n; ++i) {
+            int b = (ka[i] >> sh) & 0xff;
+            kb[pos[b]] = ka[i];
+            ib[pos[b]] = ia[i];
+            ++pos[b];
+        }
+        kt = ka; ka = kb; kb = kt;
+        it = ia; ia = ib; ib = it;
+    }
+    if (ka != keys) {
+        memcpy(keys, ka, n * 8);
+        memcpy(idx, ia, n * 4);
+        free(ka); free(ia);
+    } else {
+        free(kb); free(ib);
+    }
 }
 
 /* Per-genome gene-walk arc extraction + dedupe (pg_gen_arc per-genome part,
@@ -358,41 +385,39 @@ int64_t pg_walk_arcs(
         }
         prev = i; prev_w = w; prev_sc = sc;
     }
-    qsort(tmp, n_tmp, sizeof(tmparc_t), tmparc_cmp);
-    for (k = 0; k < n_tmp; ) {
-        /* group max seeded with 0, matching the NumPy maximum.at-into-
-         * zeros dedupe (scores are non-negative in practice) */
-        int64_t e = k + 1, cnt, dsum = tmp[k].d;
-        int32_t m1 = tmp[k].s1 > 0 ? tmp[k].s1 : 0;
-        int32_t m2 = tmp[k].s2 > 0 ? tmp[k].s2 : 0;
-        while (e < n_tmp && tmp[e].x == tmp[k].x) {
-            dsum += tmp[e].d;
-            if (tmp[e].s1 > m1) m1 = tmp[e].s1;
-            if (tmp[e].s2 > m2) m2 = tmp[e].s2;
-            ++e;
+    {
+        uint64_t *xs = (uint64_t *)malloc((n_tmp ? n_tmp : 1) * 8);
+        uint32_t *ix = (uint32_t *)malloc((n_tmp ? n_tmp : 1) * 4);
+        for (k = 0; k < n_tmp; ++k) { xs[k] = tmp[k].x; ix[k] = (uint32_t)k; }
+        radix_sort_u64(xs, ix, n_tmp);
+        for (k = 0; k < n_tmp; ) {
+            /* group max seeded with 0, matching the NumPy maximum.at-into-
+             * zeros dedupe (scores are non-negative in practice) */
+            const tmparc_t *t0 = &tmp[ix[k]];
+            int64_t e = k + 1, cnt, dsum = t0->d;
+            int32_t m1 = t0->s1 > 0 ? t0->s1 : 0;
+            int32_t m2 = t0->s2 > 0 ? t0->s2 : 0;
+            while (e < n_tmp && xs[e] == xs[k]) {
+                const tmparc_t *t = &tmp[ix[e]];
+                dsum += t->d;
+                if (t->s1 > m1) m1 = t->s1;
+                if (t->s2 > m2) m2 = t->s2;
+                ++e;
+            }
+            cnt = e - k;
+            out_x[m] = xs[k];
+            out_n[m] = (int32_t)cnt;
+            out_dist[m] = (int32_t)(int64_t)((double)dsum / (double)cnt + 0.499);
+            out_s1[m] = m1;
+            out_s2[m] = m2;
+            ++m;
+            k = e;
         }
-        cnt = e - k;
-        out_x[m] = tmp[k].x;
-        out_n[m] = (int32_t)cnt;
-        out_dist[m] = (int32_t)(int64_t)((double)dsum / (double)cnt + 0.499);
-        out_s1[m] = m1;
-        out_s2[m] = m2;
-        ++m;
-        k = e;
+        free(xs); free(ix);
     }
     free(tmp);
     w_out = m;
     return w_out;
-}
-
-typedef struct {
-    uint64_t x; int64_t n, d, s1, s2;
-} marc_t;
-
-static int marc_cmp(const void *a, const void *b)
-{
-    uint64_t xa = ((const marc_t *)a)->x, xb = ((const marc_t *)b)->x;
-    return xa < xb ? -1 : xa > xb ? 1 : 0;
 }
 
 /* Cross-genome arc merge (graph.c:151-175; ops/arcs.py merge_arcs).
@@ -405,24 +430,20 @@ int64_t pg_merge_arcs(
     uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
     int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2)
 {
-    marc_t *tmp = (marc_t *)malloc((n_in ? n_in : 1) * sizeof(marc_t));
+    uint64_t *xs = (uint64_t *)malloc((n_in ? n_in : 1) * 8);
+    uint32_t *ix = (uint32_t *)malloc((n_in ? n_in : 1) * 4);
     int64_t k, m = 0;
-    for (k = 0; k < n_in; ++k) {
-        tmp[k].x = x[k];
-        tmp[k].n = n[k];
-        tmp[k].d = (int64_t)dist[k] * n[k];
-        tmp[k].s1 = s1[k];
-        tmp[k].s2 = s2[k];
-    }
-    qsort(tmp, n_in, sizeof(marc_t), marc_cmp);
+    for (k = 0; k < n_in; ++k) { xs[k] = x[k]; ix[k] = (uint32_t)k; }
+    radix_sort_u64(xs, ix, n_in);
     for (k = 0; k < n_in; ) {
         int64_t e = k, ng = 0, tot = 0, dsum = 0, s1sum = 0, s2sum = 0;
-        while (e < n_in && tmp[e].x == tmp[k].x) {
-            ++ng; tot += tmp[e].n; dsum += tmp[e].d;
-            s1sum += tmp[e].s1; s2sum += tmp[e].s2;
+        while (e < n_in && xs[e] == xs[k]) {
+            uint32_t i = ix[e];
+            ++ng; tot += n[i]; dsum += (int64_t)dist[i] * n[i];
+            s1sum += s1[i]; s2sum += s2[i];
             ++e;
         }
-        out_x[m] = tmp[k].x;
+        out_x[m] = xs[k];
         out_ng[m] = (int32_t)ng;
         out_tot[m] = (int32_t)tot;
         out_avg_dist[m] = (int32_t)(int64_t)((double)dsum / (double)tot + 0.499);
@@ -431,7 +452,7 @@ int64_t pg_merge_arcs(
         ++m;
         k = e;
     }
-    free(tmp);
+    free(xs); free(ix);
     return m;
 }
 

@@ -26,9 +26,9 @@ _lock = threading.Lock()
 _lib = None
 _failed = False
 
-_i32p = ctypes.POINTER(ctypes.c_int32)
-_i64p = ctypes.POINTER(ctypes.c_int64)
-_u8p = ctypes.POINTER(ctypes.c_uint8)
+# pointer args are declared void* and passed as raw addresses: ctypes
+# pointer-object construction per call is measurable in the round loop
+_i32p = _i64p = _u8p = ctypes.c_void_p
 
 
 def _get_lib():
@@ -65,7 +65,7 @@ def _get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             _i32p,
         ]
-        _u64p = ctypes.POINTER(ctypes.c_uint64)
+        _u64p = ctypes.c_void_p
         lib.pg_walk_arcs.restype = ctypes.c_int64
         lib.pg_walk_arcs.argtypes = [
             ctypes.c_int64, _i64p,
@@ -91,7 +91,7 @@ def _get_lib():
         lib.pg_mark_branch.restype = None
         lib.pg_mark_branch.argtypes = [
             ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint64), _i32p, _i32p,
+            ctypes.c_void_p, _i32p, _i32p,
             ctypes.c_int32, ctypes.c_int32,
             _u8p, _i32p, _i32p, _i64p,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -117,9 +117,17 @@ def available() -> bool:
     return _get_lib() is not None
 
 
-def _p(a: np.ndarray, dt, pt):
+def _p(a: np.ndarray, dt, pt=None):
+    """Raw data address. The caller MUST hold a reference to `a` for the
+    duration of the C call — never pass a temporary (e.g. an
+    ascontiguousarray copy) directly; bind it to a local first."""
     assert a.dtype == dt and a.flags.c_contiguous
-    return a.ctypes.data_as(pt)
+    return a.ctypes.data
+
+
+def _c(a, dt):
+    """Contiguous dtype-converted view/copy; bind the result to a local."""
+    return np.ascontiguousarray(a, dt)
 
 
 _EMPTY_I32 = np.zeros(1, np.int32)
@@ -183,15 +191,18 @@ def n_local_batch(opt: PgOpt, rep_pos, g1: np.ndarray,
     out = np.empty(len(g1), np.int32)
     if len(g1) == 0:
         return out
-    pres8 = np.ascontiguousarray(present).view(np.uint8)
+    pres8 = np.ascontiguousarray(present).view(np.uint8).reshape(-1)
     g1c = np.ascontiguousarray(g1, np.int64)
     g2c = np.ascontiguousarray(g2, np.int64)
+    cidc = _c(cid, np.int32).reshape(-1)
+    rankc = _c(rank, np.int32).reshape(-1)
+    cmc = _c(cm, np.int64).reshape(-1)
     lib.pg_n_local_batch(
         len(g1), G, ng,
-        _p(pres8.reshape(-1), np.uint8, _u8p),
-        _p(np.ascontiguousarray(cid).reshape(-1), np.int32, _i32p),
-        _p(np.ascontiguousarray(rank).reshape(-1), np.int32, _i32p),
-        _p(np.ascontiguousarray(cm).reshape(-1), np.int64, _i64p),
+        _p(pres8, np.uint8, _u8p),
+        _p(cidc, np.int32, _i32p),
+        _p(rankc, np.int32, _i32p),
+        _p(cmc, np.int64, _i64p),
         _p(g1c, np.int64, _i64p), _p(g2c, np.int64, _i64p),
         int(opt.local_dist), int(opt.local_count),
         1 if opt.frag_mode else 0,
@@ -211,17 +222,22 @@ def mark_branch(opt: PgOpt, rep_pos, x: np.ndarray, s1: np.ndarray,
     n_flt = np.zeros(2, np.int64)
     if len(x) == 0:
         return 0, 0
-    pres8 = np.ascontiguousarray(present).view(np.uint8)
+    pres8 = np.ascontiguousarray(present).view(np.uint8).reshape(-1)
+    s1c = _c(s1, np.int32)
+    tgtc = _c(tgt_gid, np.int32)
+    cidc = _c(cid, np.int32).reshape(-1)
+    rankc = _c(rank, np.int32).reshape(-1)
+    cmc = _c(cm, np.int64).reshape(-1)
     lib.pg_mark_branch(
         len(x),
-        _p(x, np.uint64, ctypes.POINTER(ctypes.c_uint64)),
-        _p(np.ascontiguousarray(s1, np.int32), np.int32, _i32p),
-        _p(np.ascontiguousarray(tgt_gid, np.int32), np.int32, _i32p),
+        _p(x, np.uint64, _u64p),
+        _p(s1c, np.int32, _i32p),
+        _p(tgtc, np.int32, _i32p),
         G, ng,
-        _p(pres8.reshape(-1), np.uint8, _u8p),
-        _p(np.ascontiguousarray(cid).reshape(-1), np.int32, _i32p),
-        _p(np.ascontiguousarray(rank).reshape(-1), np.int32, _i32p),
-        _p(np.ascontiguousarray(cm).reshape(-1), np.int64, _i64p),
+        _p(pres8, np.uint8, _u8p),
+        _p(cidc, np.int32, _i32p),
+        _p(rankc, np.int32, _i32p),
+        _p(cmc, np.int64, _i64p),
         float(opt.branch_diff), float(opt.branch_diff_dist),
         float(opt.branch_diff_cut),
         int(opt.local_dist), int(opt.local_count),
@@ -232,7 +248,7 @@ def mark_branch(opt: PgOpt, rep_pos, x: np.ndarray, s1: np.ndarray,
     return int(n_flt[0]), int(n_flt[1])
 
 
-_u64p = ctypes.POINTER(ctypes.c_uint64)
+_u64p = ctypes.c_void_p
 
 
 def walk_arcs(d: DataSet, gen: Genome, g2s: np.ndarray, use_ori: bool,
@@ -286,12 +302,16 @@ def merge_arcs_native(x, n, dist, s1, s2):
     os2 = np.empty(cap, np.int32)
     if n_in == 0:
         return ox[:0], ong[:0], otot[:0], oavg[:0], os1[:0], os2[:0]
+    nc = _c(n, np.int32)
+    dc = _c(dist, np.int32)
+    s1c = _c(s1, np.int32)
+    s2c = _c(s2, np.int32)
     m = int(lib.pg_merge_arcs(
         n_in, _p(x, np.uint64, _u64p),
-        _p(np.ascontiguousarray(n, np.int32), np.int32, _i32p),
-        _p(np.ascontiguousarray(dist, np.int32), np.int32, _i32p),
-        _p(np.ascontiguousarray(s1, np.int32), np.int32, _i32p),
-        _p(np.ascontiguousarray(s2, np.int32), np.int32, _i32p),
+        _p(nc, np.int32, _i32p),
+        _p(dc, np.int32, _i32p),
+        _p(s1c, np.int32, _i32p),
+        _p(s2c, np.int32, _i32p),
         _p(ox, np.uint64, _u64p), _p(ong, np.int32, _i32p),
         _p(otot, np.int32, _i32p), _p(oavg, np.int32, _i32p),
         _p(os1, np.int32, _i32p), _p(os2, np.int32, _i32p)))
@@ -306,12 +326,13 @@ def propagate_weak(d: DataSet, gen: Genome, g2s: np.ndarray,
     h = gen.hits
     pg, _ = _globals(d)
     keepc = np.ascontiguousarray(keep, np.int64)
+    g2sc = _c(g2s, np.int32)
     lib.pg_propagate_weak(
         len(keepc), _p(keepc, np.int64, _i64p),
         _p(h.pid, np.int32, _i32p), _p(h.rev, np.uint8, _u8p),
         _p(h.cid, np.int32, _i32p),
         _p(pg, np.int32, _i32p),
-        _p(np.ascontiguousarray(g2s, np.int32), np.int32, _i32p),
+        _p(g2sc, np.int32, _i32p),
         len(arc_x), _p(arc_x, np.uint64, _u64p),
         _p(arc_w, np.uint8, _u8p),
         _p(h.weak_br, np.uint8, _u8p))
