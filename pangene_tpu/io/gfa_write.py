@@ -69,34 +69,67 @@ def parse_sample(name: str) -> Tuple[Optional[str], int]:
     return parts[0], hap
 
 
+def _walk_tokens(d: DataSet):
+    """Per-protein oriented walk tokens ('>GENE' / '<GENE'), cached."""
+    tok = getattr(d, "_walk_tok", None)
+    if tok is None or len(tok[0]) != d.n_prot:
+        names = [d.gene_name[g] for g in d.prot_gid]
+        tok = ([">" + s for s in names], ["<" + s for s in names])
+        d._walk_tok = tok               # type: ignore[attr-defined]
+    return tok
+
+
 def write_walk(q: Graph, out: IO[str]) -> None:
-    """W lines (reference pg_write_walk, format.c:183-225)."""
+    """W lines (reference pg_write_walk, format.c:183-225).
+
+    One W line per contig over the cm-sorted kept hits; contig groups
+    appear in ascending cid order (the sort key is (cid, cm)), exactly the
+    reference's emission order."""
     d = q.d
+    from ..ops.sort import cm_cycle_view
+    fwd_tok, rev_tok = _walk_tokens(d)
     for j, g in enumerate(d.genomes):
         h = g.hits
-        hit_sort(g, by_cm=True)
+        view = cm_cycle_view(g)
+        if view is None:
+            hit_sort(g, by_cm=True)
+            cid_a = h.cid
+            kept_of = np.flatnonzero(h.flt == 0)
+            pid_a, rev_a, lof_a = h.pid, h.rev, h.lof
+        else:
+            cid_a = h.cid[view]
+            kept_of = np.flatnonzero(h.flt[view] == 0)
+            rows = view[kept_of]
+            pid_a = rev_a = lof_a = None
         n = len(h)
-        i0 = 0
-        for i in range(1, n + 1):
-            if i == n or h.cid[i] != h.cid[i0]:
-                cid = int(h.cid[i0])
+        if n:
+            starts = np.flatnonzero(
+                np.concatenate(([True], cid_a[1:] != cid_a[:-1])))
+            ends = np.append(starts[1:], n)
+            if view is None:
+                rows = kept_of
+            pid_k = (pid_a[rows] if view is None else h.pid[rows]).tolist()
+            rev_k = (rev_a[rows] if view is None else h.rev[rows]).tolist()
+            lof_k = (lof_a[rows] if view is None else h.lof[rows]).tolist()
+            # kept positions partitioned per contig group
+            grp_lo = np.searchsorted(kept_of, starts)
+            grp_hi = np.searchsorted(kept_of, ends)
+            for s, lo, hi in zip(starts.tolist(), grp_lo.tolist(),
+                                 grp_hi.tolist()):
+                if lo == hi:
+                    continue
+                cid = int(cid_a[s])
                 sample, hap = parse_sample(g.ctg_names[cid])
-                walk = []
-                lof = []
-                for k in range(i0, i):
-                    if h.flt[k]:
-                        continue
-                    gid = d.prot_gid[h.pid[k]]
-                    walk.append("><"[int(h.rev[k])] + d.gene_name[gid])
-                    lof.append(str(int(h.lof[k])))
-                if walk:
-                    if hap >= 0:
-                        hdr = "W\t%s\t%d" % (sample, hap)
-                    elif g.label:
-                        hdr = "W\t%s\t0" % g.label
-                    else:
-                        hdr = "W\t%d\t0" % j
-                    out.write("%s\t%s\t*\t*\t%s\tlf:B:i,%s\n" % (
-                        hdr, g.ctg_names[cid], "".join(walk), ",".join(lof)))
-                i0 = i
-        hit_sort(g, by_cm=False)
+                walk = [(rev_tok[p] if r else fwd_tok[p])
+                        for p, r in zip(pid_k[lo:hi], rev_k[lo:hi])]
+                if hap >= 0:
+                    hdr = "W\t%s\t%d" % (sample, hap)
+                elif g.label:
+                    hdr = "W\t%s\t0" % g.label
+                else:
+                    hdr = "W\t%d\t0" % j
+                out.write("%s\t%s\t*\t*\t%s\tlf:B:i,%s\n" % (
+                    hdr, g.ctg_names[cid], "".join(walk),
+                    ",".join(map(str, lof_k[lo:hi]))))
+        if view is None:
+            hit_sort(g, by_cm=False)
