@@ -36,28 +36,36 @@ def gen_vtx(opt: PgOpt, q: Graph) -> None:
     x = avg_adj.astype(np.uint64).copy()
     y = np.arange(ng, dtype=np.uint64)
 
-    # aux[j][gid]: (n_gene+1)<<1 = unseen; n_gene<<1 = dominant (non-shadowed);
-    # dom_gid<<1 = shadowed-only with recorded dominator; low bit = "consumed"
+    # aux[gid][j] (gene-major for contiguous column reads in the greedy
+    # scan): (n_gene+1)<<1 = unseen; n_gene<<1 = dominant (non-shadowed);
+    # dom_gid<<1 = shadowed-only with recorded dominator; low bit =
+    # "consumed". Scan-order semantics of the reference loop: any
+    # non-shadowed rank-0 hit forces DOM (later hits overwrite a recorded
+    # dominator); otherwise the FIRST shadowed hit's dominator is recorded.
     UNSEEN = np.uint32((ng + 1) << 1)
     DOM = np.uint32(ng << 1)
-    aux = np.full((G, ng), UNSEEN, np.uint32)
+    aux = np.full((ng, G), UNSEEN, np.uint32)
     for j, gen in enumerate(d.genomes):
         h = gen.hits
-        flag = np.zeros(ng, np.uint8)
-        aj = aux[j]
-        m = np.flatnonzero((h.rank == 0) & (h.flt == 0))
-        for i in m:  # scan order matters for the first-dominator record
-            gid = int(prot_gid[h.pid[i]])
-            if h.shadow[i]:
-                assert h.pid_dom[i] >= 0
-                flag[gid] |= 2
-                if aj[gid] == UNSEEN:
-                    aj[gid] = np.uint32(prot_gid[h.pid_dom[i]] << 1)
-            else:
-                flag[gid] |= 1
-                aj[gid] = DOM
-        x[flag & 1 == 1] += np.uint64(1 << 32)
-        y[(flag & 1 == 0) & (flag & 2 == 2)] += np.uint64(1 << 32)
+        idx = np.flatnonzero((h.rank == 0) & (h.flt == 0))
+        gids = prot_gid[h.pid[idx]]
+        sh = h.shadow[idx] != 0
+        g_dom = gids[~sh]
+        aux[g_dom, j] = DOM
+        flag1 = np.zeros(ng, bool)
+        flag1[g_dom] = True
+        flag2 = np.zeros(ng, bool)
+        if sh.any():
+            sh_idx = idx[sh]
+            assert (h.pid_dom[sh_idx] >= 0).all()
+            g_sh = gids[sh]
+            flag2[g_sh] = True
+            ug, first = np.unique(g_sh, return_index=True)
+            fresh = aux[ug, j] == UNSEEN
+            aux[ug[fresh], j] = (prot_gid[h.pid_dom[sh_idx[first[fresh]]]]
+                                 .astype(np.uint32) << np.uint32(1))
+        x[flag1] += np.uint64(1 << 32)
+        y[~flag1 & flag2] += np.uint64(1 << 32)
 
     pref = np.asarray(d.gene_preferred, bool)
     x[pref] |= np.uint64(1 << 63)
@@ -75,7 +83,7 @@ def gen_vtx(opt: PgOpt, q: Graph) -> None:
         n_dom = (xi >> 32) & ((1 << 31) - 1)  # bits 62..32 (x<<1>>33 in C)
         n_sub = yi >> 32
         gid = yi & 0xFFFFFFFF
-        col = aux[:, gid]
+        col = aux[gid]
         is_dom = (col >> 1) == ng
         xx = int(is_dom.sum())
         yy = int((col[is_dom] & 1).sum())
@@ -88,8 +96,8 @@ def gen_vtx(opt: PgOpt, q: Graph) -> None:
             sel_dom.append(n_dom)
             sel_sub.append(n_sub)
             if xx > 0:
-                shadowed = (col >> 1) < ng
-                aux[shadowed, (col[shadowed] >> 1).astype(np.int64)] |= 1
+                shadowed = np.flatnonzero((col >> 1) < ng)
+                aux[(col[shadowed] >> 1).astype(np.int64), shadowed] |= 1
 
     # final segment order: ascending gid (vertex.c:85-94)
     seg = np.array(sel_gid, np.int64)

@@ -31,14 +31,20 @@ def write_seg(q: Graph, out: IO[str]) -> None:
 
 def write_arc(q: Graph, out: IO[str]) -> None:
     d = q.d
-    for i in range(q.n_arc):
-        x = int(q.arcs.x[i])
-        v, w = x >> 32, x & 0xFFFFFFFF
-        out.write("L\t%s\t%c\t%s\t%c\t0M\tng:i:%d\tnc:i:%d\tad:i:%d\ts1:i:%d\ts2:i:%d\n" % (
-            d.gene_name[q.seg_gid[v >> 1]], "+-"[v & 1],
-            d.gene_name[q.seg_gid[w >> 1]], "+-"[w & 1],
-            q.arcs.n_genome[i], q.arcs.tot_cnt[i], q.arcs.avg_dist[i],
-            q.arcs.s1[i], q.arcs.s2[i]))
+    a = q.arcs
+    if q.n_arc == 0:
+        return
+    v = (a.x >> np.uint64(32)).astype(np.int64)
+    w = (a.x & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    vn = [d.gene_name[g] for g in q.seg_gid[(v >> 1)].tolist()]
+    wn = [d.gene_name[g] for g in q.seg_gid[(w >> 1)].tolist()]
+    vs = np.where(v & 1, "-", "+").tolist()
+    ws = np.where(w & 1, "-", "+").tolist()
+    rows = zip(vn, vs, wn, ws, a.n_genome.tolist(), a.tot_cnt.tolist(),
+               a.avg_dist.tolist(), a.s1.tolist(), a.s2.tolist())
+    out.write("".join(
+        "L\t%s\t%s\t%s\t%s\t0M\tng:i:%d\tnc:i:%d\tad:i:%d\ts1:i:%d\ts2:i:%d\n"
+        % r for r in rows))
 
 
 def write_graph(q: Graph, out: IO[str]) -> None:

@@ -206,6 +206,27 @@ static int32_t rep_n_local(const rep_t *r, int64_t ga, int64_t gb,
     return cnt;
 }
 
+/* existence-only variant: callers that only test n_local != 0 can stop at
+ * the first local genome */
+static int32_t rep_any_local(const rep_t *r, int64_t ga, int64_t gb,
+                             int64_t local_dist, int64_t local_count,
+                             int32_t frag_mode)
+{
+    size_t a = (size_t)ga * r->G, b = (size_t)gb * r->G;
+    int32_t g;
+    for (g = 0; g < r->G; ++g) {
+        int64_t dd, cc;
+        if (!(r->pres[a + g] && r->pres[b + g])) continue;
+        if (!frag_mode && r->cid[a + g] != r->cid[b + g]) continue;
+        dd = r->cm[a + g] - r->cm[b + g];
+        if (dd < 0) dd = -dd;
+        cc = (int64_t)r->rank[a + g] - r->rank[b + g];
+        if (cc < 0) cc = -cc;
+        if (dd <= local_dist || cc <= local_count) return 1;
+    }
+    return 0;
+}
+
 /* Batched cross-genome locality counts for gene pairs (pg_n_local,
  * branch.c:31-46; semantics of ops/branch.py:n_local_batch). */
 void pg_n_local_batch(
@@ -264,10 +285,10 @@ void pg_mark_branch(
             int64_t nloc = 0;
             int32_t cut;
             if (!(rr > branch_diff)) continue;
-            for (j = gs; j < ge; ++j)
-                if (s1[j] == gmax)
-                    nloc += rep_n_local(&r, tgt_gid[j], tgt_gid[i],
-                                        local_dist, local_count, frag_mode);
+            for (j = gs; j < ge && nloc == 0; ++j)
+                if (s1[j] == gmax)   /* only nloc==0 is tested below */
+                    nloc = rep_any_local(&r, tgt_gid[j], tgt_gid[i],
+                                         local_dist, local_count, frag_mode);
             cut = (nloc == 0 && rr > branch_diff_dist)
                 || rr > branch_diff_cut;
             weak_br[i] = cut ? 2 : 1;
@@ -284,8 +305,8 @@ void pg_mark_branch(
             if (grp[i] == 0) grp[i] = ++n_group;
             for (j = i + 1; j < n; ++j)
                 if (grp[j] == 0
-                    && rep_n_local(&r, tgt_gid[gs + i], tgt_gid[gs + j],
-                                   local_dist, local_count, frag_mode) > 0)
+                    && rep_any_local(&r, tgt_gid[gs + i], tgt_gid[gs + j],
+                                     local_dist, local_count, frag_mode))
                     grp[j] = grp[i];
         }
         n_dist_loci[src] = n_group;

@@ -173,23 +173,45 @@ def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
     g.seg_tot_cnt = np.zeros(g.n_seg, np.int32)
     from . import sweep_native
     native = opt.engine == "host" and sweep_native.available()
+    g2s_b = g.g2s.tobytes() if (native and g.g2s is not None) else None
+    any_recomputed = False
     per_genome = []
     for j, gen in enumerate(d.genomes):
-        sweep.shadow(opt, d, gen, cal_dom_sc=False)
-        view = cm_cycle_view(gen)
         if native:
-            if view is None:
-                hit_sort(gen, by_cm=True)
-            x, n, dist, s1, s2, seg_cnt = sweep_native.walk_arcs(
-                d, gen, g.g2s, use_ori, g.n_seg,
-                view if view is not None else None)
-            if view is None:
-                hit_sort(gen, by_cm=False)
+            # The per-genome shadow sweep and walk are pure functions of
+            # (flt, weak_br, g2s): coordinates, scores and pid_dom0 are
+            # frozen after ingest, and the sweep's in-place outputs
+            # (shadow/pid_dom) are themselves determined by the same key.
+            # Once the pruning rounds converge, most genomes' keys repeat,
+            # so recomputation is skipped — outputs are bit-identical by
+            # construction (the reference recomputes the same values).
+            h = gen.hits
+            fb = h.flt.tobytes()
+            wb = h.weak_br.tobytes()
+            memo = getattr(gen, "_arc_memo", None)
+            if memo is not None and memo[0] == fb and memo[1] == wb \
+                    and memo[2] == g2s_b and memo[3] == use_ori:
+                x, n, dist, s1, s2, seg_cnt = memo[4]
+            else:
+                any_recomputed = True
+                sweep.shadow(opt, d, gen, cal_dom_sc=False)
+                view = cm_cycle_view(gen)
+                if view is None:
+                    hit_sort(gen, by_cm=True)
+                x, n, dist, s1, s2, seg_cnt = sweep_native.walk_arcs(
+                    d, gen, g.g2s, use_ori, g.n_seg,
+                    view if view is not None else None)
+                if view is None:
+                    hit_sort(gen, by_cm=False)
+                gen._arc_memo = (fb, wb, g2s_b, use_ori,
+                                 (x, n, dist, s1, s2, seg_cnt))
             if g.n_seg:
                 g.seg_n_genome += (seg_cnt > 0).astype(np.int32)
                 g.seg_tot_cnt += seg_cnt
             per_genome.append((x, n, dist, s1, s2))
             continue
+        sweep.shadow(opt, d, gen, cal_dom_sc=False)
+        view = cm_cycle_view(gen)
         if view is None:
             hit_sort(gen, by_cm=True)
         x, dist, s1, s2, sids = walk_extract(g, gen, use_ori, view=view)
@@ -201,6 +223,15 @@ def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
             g.seg_tot_cnt += cnts.astype(np.int32)
         per_genome.append(dedupe_genome(x, dist, s1, s2))
     if native:
+        mm = getattr(g, "_merge_memo", None)
+        if not any_recomputed and mm is not None and mm[0] == g2s_b \
+                and mm[1] == use_ori:
+            ox, ong, otot, oavg, os1, os2 = mm[2]
+            out = ArcTable.empty(len(ox))
+            out.x, out.n_genome, out.tot_cnt = ox, ong, otot
+            out.avg_dist, out.s1, out.s2 = oavg, os1, os2
+            g.arcs = out
+            return
         xs = np.concatenate([p[0] for p in per_genome]) \
             if per_genome else np.zeros(0, np.uint64)
         ns = np.concatenate([p[1] for p in per_genome]) \
@@ -213,6 +244,7 @@ def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
             if per_genome else np.zeros(0, np.int32)
         ox, ong, otot, oavg, os1, os2 = sweep_native.merge_arcs_native(
             xs, ns, ds, s1s, s2s)
+        g._merge_memo = (g2s_b, use_ori, (ox, ong, otot, oavg, os1, os2))
         out = ArcTable.empty(len(ox))
         out.x, out.n_genome, out.tot_cnt = ox, ong, otot
         out.avg_dist, out.s1, out.s2 = oavg, os1, os2

@@ -26,7 +26,12 @@ from .sort import cm_cycle_view, hit_sort
 
 def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
     """Per genome, per gene: (present, cid, kept-rank, cm) of its last kept
-    hit in cs-order (reference pg_gen_rep_pos, branch.c:6-29)."""
+    hit in cs-order (reference pg_gen_rep_pos, branch.c:6-29).
+
+    Per-genome rows are memoized on the (flt, shadow) byte state — the only
+    inputs that change between pruning rounds. The memo also yields a
+    per-genome version counter used as a cheap key component by the
+    mark_branch_flt_arc memo."""
     G = d.n_genome
     ng = d.n_gene
     prot_gid = np.asarray(d.prot_gid, np.int32)
@@ -34,24 +39,37 @@ def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
     cid = np.zeros((G, ng), np.int32)
     rank = np.zeros((G, ng), np.int32)
     cm = np.zeros((G, ng), np.int64)
+    versions = []
     for j, gen in enumerate(d.genomes):
         h = gen.hits
-        keep = np.flatnonzero((h.shadow == 0) & (h.flt == 0))
-        if len(keep) == 0:
-            continue
-        gids = prot_gid[h.pid[keep]]
-        ranks = np.arange(len(keep), dtype=np.int32)
-        # last kept hit of each gene wins: final element of each stable
-        # gid group (deterministic, unlike fancy-index overwrite)
-        order = np.argsort(gids, kind="stable")
-        gs = gids[order]
-        last = order[np.flatnonzero(
-            np.concatenate((gs[1:] != gs[:-1], [True])))]
-        present[j, gids[last]] = True
-        cid[j, gids[last]] = h.cid[keep[last]]
-        rank[j, gids[last]] = ranks[last]
-        cm[j, gids[last]] = h.cm[keep[last]]
-    return present, cid, rank, cm
+        key = (h.flt.tobytes(), h.shadow.tobytes(), ng)
+        memo = getattr(gen, "_rep_pos_memo", None)
+        if memo is not None and memo[0] == key:
+            row, ver = memo[1], memo[2]
+        else:
+            keep = np.flatnonzero((h.shadow == 0) & (h.flt == 0))
+            row = None
+            if len(keep):
+                gids = prot_gid[h.pid[keep]]
+                ranks = np.arange(len(keep), dtype=np.int32)
+                # last kept hit of each gene wins: final element of each
+                # stable gid group (deterministic, unlike fancy overwrite)
+                order = np.argsort(gids, kind="stable")
+                gs = gids[order]
+                last = order[np.flatnonzero(
+                    np.concatenate((gs[1:] != gs[:-1], [True])))]
+                row = (gids[last], h.cid[keep[last]], ranks[last],
+                       h.cm[keep[last]])
+            ver = (memo[2] + 1) if memo is not None else 0
+            gen._rep_pos_memo = (key, row, ver)
+        if row is not None:
+            gl, cl, rl, ml = row
+            present[j, gl] = True
+            cid[j, gl] = cl
+            rank[j, gl] = rl
+            cm[j, gl] = ml
+        versions.append(ver)
+    return (present, cid, rank, cm), tuple(versions)
 
 
 def n_local_batch(opt: PgOpt, rep_pos, g1: np.ndarray,
@@ -104,7 +122,7 @@ def mark_branch_flt_arc(opt: PgOpt, g: Graph) -> int:
     closed-form for degree 2 with a loop only over degree>=3 vertices.
     """
     d = g.d
-    rep_pos = gen_rep_pos(d)
+    rep_pos, rep_versions = gen_rep_pos(d)
     g.seg_n_dist_loci = np.zeros((g.n_seg, 2), np.int32)
     arcs = g.arcs
     n_arc = len(arcs)
@@ -117,9 +135,21 @@ def mark_branch_flt_arc(opt: PgOpt, g: Graph) -> int:
         .astype(np.int64)
     from . import sweep_native
     if sweep_native.available():
-        n_flt1, n_flt2 = sweep_native.mark_branch(
-            opt, rep_pos, arcs.x, arcs.s1, tgt_gid,
-            arcs.weak_br, g.seg_n_dist_loci)
+        # arcs + per-genome rep-state versions fully determine the result;
+        # pruning state is monotone so a repeated key means identical input
+        key = (arcs.x.tobytes(), arcs.s1.tobytes(), rep_versions, g.n_seg)
+        memo = getattr(g, "_mark_branch_memo", None)
+        if memo is not None and memo[0] == key:
+            n_flt1, n_flt2, weak, loci = memo[1]
+            arcs.weak_br[:] = weak
+            g.seg_n_dist_loci[:] = loci
+        else:
+            n_flt1, n_flt2 = sweep_native.mark_branch(
+                opt, rep_pos, arcs.x, arcs.s1, tgt_gid,
+                arcs.weak_br, g.seg_n_dist_loci)
+            g._mark_branch_memo = (key, (n_flt1, n_flt2,
+                                         arcs.weak_br.copy(),
+                                         g.seg_n_dist_loci.copy()))
         log_msg("pg_mark_branch_flt_arc",
                 "marked %d locally diverged branches and %d distantly "
                 "diverged branches", n_flt1, n_flt2)
@@ -228,6 +258,11 @@ def mark_branch_flt_hit(opt: PgOpt, g: Graph) -> int:
     prot_gid = np.asarray(d.prot_gid, np.int32)
     arc_x = g.arcs.x
     arc_w = g.arcs.weak_br
+    if len(arc_x) == 0 or not arc_w.any():
+        # no marked arcs: propagation cannot change any hit; count only
+        n_flt = sum(int((gen.hits.weak_br != 0).sum()) for gen in d.genomes)
+        log_msg("pg_mark_branch_flt_hit", "marked %d diverged hits", n_flt)
+        return n_flt
     from . import sweep_native
     native = sweep_native.available()
     n_flt = 0
