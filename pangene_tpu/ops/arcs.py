@@ -172,7 +172,7 @@ def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
     g.seg_n_genome = np.zeros(g.n_seg, np.int32)
     g.seg_tot_cnt = np.zeros(g.n_seg, np.int32)
     from . import sweep_native
-    native = opt.engine == "host" and sweep_native.available()
+    native = opt.engine in ("host", "sharded") and sweep_native.available()
     g2s_b = g.g2s.tobytes() if (native and g.g2s is not None) else None
     any_recomputed = False
     per_genome = []

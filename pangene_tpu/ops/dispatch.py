@@ -21,12 +21,15 @@ def _host_native_ok() -> bool:
 
 
 def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
-    if opt.engine in ("jax", "sharded"):
+    if opt.engine == "jax":
         from . import device_engine
         return device_engine.shadow(opt, d, g, cal_dom_sc)
     if opt.engine == "host-ref":  # scalar oracle (tests)
         return host_sweep.shadow(opt, d, g, cal_dom_sc)
-    if opt.engine == "host" and _host_native_ok():
+    # "sharded" runs single-genome (latency-bound) sweeps on the host; the
+    # device holds the batched [G, H] round step (parallel/stacked.py) —
+    # one jit dispatch per round, not one per genome.
+    if opt.engine in ("host", "sharded") and _host_native_ok():
         from . import sweep_native
         return sweep_native.shadow(opt, d, g, cal_dom_sc)
     from . import sweep_vec
@@ -34,12 +37,12 @@ def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
 
 
 def flt_ov_isoform(opt: PgOpt, d: DataSet, g: Genome) -> int:
-    if opt.engine in ("jax", "sharded"):
+    if opt.engine == "jax":
         from . import device_engine
         return device_engine.flt_ov_isoform(opt, d, g)
     if opt.engine == "host-ref":
         return host_sweep.flt_ov_isoform(opt, d, g)
-    if opt.engine == "host" and _host_native_ok():
+    if opt.engine in ("host", "sharded") and _host_native_ok():
         from . import sweep_native
         return sweep_native.flt_ov_isoform(opt, d, g)
     from . import sweep_vec
