@@ -441,6 +441,103 @@ int64_t pg_walk_arcs(
     return w_out;
 }
 
+/* Representative positions for one genome (pg_gen_rep_pos, branch.c:6-29):
+ * the LAST kept (unfiltered, unshadowed) hit of each gene in cs order,
+ * with its contig, kept-rank and cm. Backward scan, first-seen wins.
+ * Outputs are compact lists of length = #distinct kept genes. */
+int64_t pg_rep_pos(
+    int64_t n, const uint8_t *flt, const uint8_t *shadow,
+    const int32_t *pid, const int32_t *cid, const int64_t *cm,
+    const int32_t *prot_gid, int32_t n_gene,
+    int32_t *out_gid, int32_t *out_cid, int32_t *out_rank, int64_t *out_cm)
+{
+    uint8_t *seen = (uint8_t *)calloc(n_gene ? n_gene : 1, 1);
+    int64_t i, m = 0, n_keep = 0;
+    int32_t *rank_of = (int32_t *)malloc((n ? n : 1) * 4);
+    for (i = 0; i < n; ++i)
+        rank_of[i] = !flt[i] && !shadow[i] ? (int32_t)n_keep++ : -1;
+    for (i = n - 1; i >= 0; --i) {
+        int32_t g;
+        if (rank_of[i] < 0) continue;
+        g = prot_gid[pid[i]];
+        if (seen[g]) continue;
+        seen[g] = 1;
+        out_gid[m] = g;
+        out_cid[m] = cid[i];
+        out_rank[m] = rank_of[i];
+        out_cm[m] = cm[i];
+        ++m;
+    }
+    free(seen); free(rank_of);
+    return m;
+}
+
+/* K-way merge of the per-genome deduped arc lists (each already x-sorted
+ * by pg_walk_arcs). Same aggregation as pg_merge_arcs but O(N log G)
+ * sequential reads instead of a global re-sort — the per-round global
+ * merge dominates at scale otherwise. offs[n_src+1] delimits each
+ * genome's slice of the concatenated inputs. */
+typedef struct { uint64_t key; int32_t src; } kent_t;
+
+static void kheap_down(kent_t *h, int32_t n, int32_t i)
+{
+    for (;;) {
+        int32_t l = 2 * i + 1, r = l + 1, m = i;
+        if (l < n && h[l].key < h[m].key) m = l;
+        if (r < n && h[r].key < h[m].key) m = r;
+        if (m == i) break;
+        kent_t t = h[i]; h[i] = h[m]; h[m] = t;
+        i = m;
+    }
+}
+
+int64_t pg_merge_arcs_kway(
+    int32_t n_src, const int64_t *offs,
+    const uint64_t *x, const int32_t *n,
+    const int32_t *dist, const int32_t *s1, const int32_t *s2,
+    uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
+    int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2)
+{
+    int64_t *pos = (int64_t *)malloc((n_src ? n_src : 1) * 8);
+    kent_t *heap = (kent_t *)malloc((n_src ? n_src : 1) * sizeof(kent_t));
+    int32_t hn = 0, s;
+    int64_t m = 0;
+    for (s = 0; s < n_src; ++s) {
+        pos[s] = offs[s];
+        if (pos[s] < offs[s + 1]) {
+            heap[hn].key = x[pos[s]];
+            heap[hn].src = s;
+            ++hn;
+        }
+    }
+    for (s = hn / 2 - 1; s >= 0; --s) kheap_down(heap, hn, s);
+    while (hn) {
+        uint64_t cur = heap[0].key;
+        int64_t ng = 0, tot = 0, dsum = 0, s1sum = 0, s2sum = 0;
+        while (hn && heap[0].key == cur) {
+            int32_t sc = heap[0].src;
+            int64_t i = pos[sc];
+            ++ng; tot += n[i]; dsum += (int64_t)dist[i] * n[i];
+            s1sum += s1[i]; s2sum += s2[i];
+            if (++pos[sc] < offs[sc + 1]) {
+                heap[0].key = x[pos[sc]];
+            } else {
+                heap[0] = heap[--hn];
+            }
+            kheap_down(heap, hn, 0);
+        }
+        out_x[m] = cur;
+        out_ng[m] = (int32_t)ng;
+        out_tot[m] = (int32_t)tot;
+        out_avg_dist[m] = (int32_t)(int64_t)((double)dsum / (double)tot + 0.499);
+        out_s1[m] = (int32_t)(int64_t)((double)s1sum / (double)ng + 0.499);
+        out_s2[m] = (int32_t)(int64_t)((double)s2sum / (double)ng + 0.499);
+        ++m;
+    }
+    free(pos); free(heap);
+    return m;
+}
+
 /* Cross-genome arc merge (graph.c:151-175; ops/arcs.py merge_arcs).
  * Inputs are the concatenated per-genome deduped lists. Averages use
  * exact integer sums with one double +.499 rounding, so the result is

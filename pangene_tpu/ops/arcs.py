@@ -232,18 +232,8 @@ def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
             out.avg_dist, out.s1, out.s2 = oavg, os1, os2
             g.arcs = out
             return
-        xs = np.concatenate([p[0] for p in per_genome]) \
-            if per_genome else np.zeros(0, np.uint64)
-        ns = np.concatenate([p[1] for p in per_genome]) \
-            if per_genome else np.zeros(0, np.int32)
-        ds = np.concatenate([p[2] for p in per_genome]) \
-            if per_genome else np.zeros(0, np.int32)
-        s1s = np.concatenate([p[3] for p in per_genome]) \
-            if per_genome else np.zeros(0, np.int32)
-        s2s = np.concatenate([p[4] for p in per_genome]) \
-            if per_genome else np.zeros(0, np.int32)
-        ox, ong, otot, oavg, os1, os2 = sweep_native.merge_arcs_native(
-            xs, ns, ds, s1s, s2s)
+        ox, ong, otot, oavg, os1, os2 = sweep_native.merge_arcs_kway(
+            per_genome)
         g._merge_memo = (g2s_b, use_ori, (ox, ong, otot, oavg, os1, os2))
         out = ArcTable.empty(len(ox))
         out.x, out.n_genome, out.tot_cnt = ox, ong, otot

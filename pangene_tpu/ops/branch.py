@@ -47,19 +47,23 @@ def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
         if memo is not None and memo[0] == key:
             row, ver = memo[1], memo[2]
         else:
-            keep = np.flatnonzero((h.shadow == 0) & (h.flt == 0))
-            row = None
-            if len(keep):
-                gids = prot_gid[h.pid[keep]]
-                ranks = np.arange(len(keep), dtype=np.int32)
-                # last kept hit of each gene wins: final element of each
-                # stable gid group (deterministic, unlike fancy overwrite)
-                order = np.argsort(gids, kind="stable")
-                gs = gids[order]
-                last = order[np.flatnonzero(
-                    np.concatenate((gs[1:] != gs[:-1], [True])))]
-                row = (gids[last], h.cid[keep[last]], ranks[last],
-                       h.cm[keep[last]])
+            from . import sweep_native
+            if sweep_native.available():
+                row = sweep_native.rep_pos_rows(d, gen)
+            else:
+                keep = np.flatnonzero((h.shadow == 0) & (h.flt == 0))
+                row = None
+                if len(keep):
+                    gids = prot_gid[h.pid[keep]]
+                    ranks = np.arange(len(keep), dtype=np.int32)
+                    # last kept hit of each gene wins: final element of
+                    # each stable gid group (deterministic)
+                    order = np.argsort(gids, kind="stable")
+                    gs = gids[order]
+                    last = order[np.flatnonzero(
+                        np.concatenate((gs[1:] != gs[:-1], [True])))]
+                    row = (gids[last], h.cid[keep[last]], ranks[last],
+                           h.cm[keep[last]])
             ver = (memo[2] + 1) if memo is not None else 0
             gen._rep_pos_memo = (key, row, ver)
         if row is not None:
@@ -265,9 +269,24 @@ def mark_branch_flt_hit(opt: PgOpt, g: Graph) -> int:
         return n_flt
     from . import sweep_native
     native = sweep_native.available()
+    # only marked arcs can change a hit (max with 0 is a no-op): probe the
+    # small marked subset instead of the full arc table
+    marked = np.flatnonzero(arc_w)
+    arc_xm = np.ascontiguousarray(arc_x[marked])
+    arc_wm = np.ascontiguousarray(arc_w[marked])
+    round_key = (arc_xm.tobytes(), arc_wm.tobytes())
     n_flt = 0
     for gen in d.genomes:
         h = gen.hits
+        if native:
+            # weak_br is a monotone max-accumulator and this is its only
+            # writer: re-applying the same (kept-walk, marked-arcs) input
+            # is a no-op, so skip when the key repeats
+            key = (h.flt.tobytes(), h.shadow.tobytes()) + round_key
+            if getattr(gen, "_prop_memo", None) == key:
+                n_flt += int((h.weak_br != 0).sum())
+                continue
+            gen._prop_memo = key
         view = cm_cycle_view(gen)
         if view is None:
             hit_sort(gen, by_cm=True)
@@ -276,7 +295,7 @@ def mark_branch_flt_hit(opt: PgOpt, g: Graph) -> int:
             keep = view[np.flatnonzero((h.flt[view] == 0)
                                        & (h.shadow[view] == 0))]
         if native and len(keep) >= 2 and len(arc_x):
-            sweep_native.propagate_weak(d, gen, g.g2s, keep, arc_x, arc_w)
+            sweep_native.propagate_weak(d, gen, g.g2s, keep, arc_xm, arc_wm)
         elif len(keep) >= 2 and len(arc_x):
             sid = g.g2s[prot_gid[h.pid[keep]]].astype(np.int64)
             w = (sid << 1) | h.rev[keep].astype(np.int64)

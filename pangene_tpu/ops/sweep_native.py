@@ -80,6 +80,18 @@ def _get_lib():
             ctypes.c_int64, _u64p, _i32p, _i32p, _i32p, _i32p,
             _u64p, _i32p, _i32p, _i32p, _i32p, _i32p,
         ]
+        lib.pg_rep_pos.restype = ctypes.c_int64
+        lib.pg_rep_pos.argtypes = [
+            ctypes.c_int64, _u8p, _u8p, _i32p, _i32p, _i64p,
+            _i32p, ctypes.c_int32,
+            _i32p, _i32p, _i32p, _i64p,
+        ]
+        lib.pg_merge_arcs_kway.restype = ctypes.c_int64
+        lib.pg_merge_arcs_kway.argtypes = [
+            ctypes.c_int32, _i64p,
+            _u64p, _i32p, _i32p, _i32p, _i32p,
+            _u64p, _i32p, _i32p, _i32p, _i32p, _i32p,
+        ]
         lib.pg_propagate_weak.restype = None
         lib.pg_propagate_weak.argtypes = [
             ctypes.c_int64, _i64p,
@@ -286,6 +298,65 @@ def walk_arcs(d: DataSet, gen: Genome, g2s: np.ndarray, use_ori: bool,
     assert m >= 0, "kept hit maps to deleted segment"
     return (out_x[:m], out_n[:m], out_dist[:m], out_s1[:m], out_s2[:m],
             seg_cnt[:n_seg])
+
+
+def rep_pos_rows(d: DataSet, gen: Genome):
+    """Native per-genome representative positions: compact
+    (gid, cid, kept-rank, cm) rows for each gene with a kept hit."""
+    lib = _get_lib()
+    h = gen.hits
+    n = len(h)
+    pg, _ = _globals(d)
+    cap = max(min(n, d.n_gene), 1)
+    og = np.empty(cap, np.int32)
+    oc = np.empty(cap, np.int32)
+    orr = np.empty(cap, np.int32)
+    om = np.empty(cap, np.int64)
+    if n == 0:
+        return None
+    m = int(lib.pg_rep_pos(
+        n, _p(h.flt, np.uint8, _u8p), _p(h.shadow, np.uint8, _u8p),
+        _p(h.pid, np.int32, _i32p), _p(h.cid, np.int32, _i32p),
+        _p(h.cm, np.int64, _i64p),
+        _p(pg, np.int32, _i32p), d.n_gene,
+        _p(og, np.int32, _i32p), _p(oc, np.int32, _i32p),
+        _p(orr, np.int32, _i32p), _p(om, np.int64, _i64p)))
+    if m == 0:
+        return None
+    return og[:m], oc[:m], orr[:m], om[:m]
+
+
+def merge_arcs_kway(per_genome):
+    """Native k-way merge of per-genome x-sorted deduped arc lists.
+    Returns (x, n_genome, tot_cnt, avg_dist, s1, s2)."""
+    lib = _get_lib()
+    offs = np.zeros(len(per_genome) + 1, np.int64)
+    for i, p in enumerate(per_genome):
+        offs[i + 1] = offs[i] + len(p[0])
+    n_in = int(offs[-1])
+    cap = max(n_in, 1)
+    ox = np.empty(cap, np.uint64)
+    ong = np.empty(cap, np.int32)
+    otot = np.empty(cap, np.int32)
+    oavg = np.empty(cap, np.int32)
+    os1 = np.empty(cap, np.int32)
+    os2 = np.empty(cap, np.int32)
+    if n_in == 0:
+        return ox[:0], ong[:0], otot[:0], oavg[:0], os1[:0], os2[:0]
+    x = np.concatenate([p[0] for p in per_genome])
+    n = np.concatenate([p[1] for p in per_genome])
+    dist = np.concatenate([p[2] for p in per_genome])
+    s1 = np.concatenate([p[3] for p in per_genome])
+    s2 = np.concatenate([p[4] for p in per_genome])
+    m = int(lib.pg_merge_arcs_kway(
+        len(per_genome), _p(offs, np.int64, _i64p),
+        _p(x, np.uint64, _u64p), _p(n, np.int32, _i32p),
+        _p(dist, np.int32, _i32p),
+        _p(s1, np.int32, _i32p), _p(s2, np.int32, _i32p),
+        _p(ox, np.uint64, _u64p), _p(ong, np.int32, _i32p),
+        _p(otot, np.int32, _i32p), _p(oavg, np.int32, _i32p),
+        _p(os1, np.int32, _i32p), _p(os2, np.int32, _i32p)))
+    return ox[:m], ong[:m], otot[:m], oavg[:m], os1[:m], os2[:m]
 
 
 def merge_arcs_native(x, n, dist, s1, s2):
