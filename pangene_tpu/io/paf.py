@@ -289,52 +289,53 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
     """Assemble a Genome from the native parser's SoA output, applying the
     per-record global-table side effects in record order (read.c:151-200):
     gene/protein interning at first occurrence, prot_len = last record's
-    qlen (reset-0 quirk), gene_len = max, per-record contig length."""
-    from ..native.loader import parse_paf_native
-    try:
-        nat = parse_paf_native(fn, opt.min_prot_ratio, opt.min_prot_iden,
-                               opt.score_adj_coef)
-    except RuntimeError as e:
-        raise
+    qlen (reset-0 quirk), gene_len = max, per-record contig length.
+
+    Interning happens cross-file inside the native parser (InternSession):
+    hit/record name columns arrive carrying final global ids, and only the
+    NEW name tail is decoded per file. Global ids equal the pure-Python
+    path's because both assign in first-occurrence record order."""
+    from ..native import loader
+    sess = getattr(d, "_nat_sess", None)
+    if sess is None:
+        assert d.n_gene == 0 and d.n_prot == 0, \
+            "native session must own interning from the first file"
+        sess = loader.make_session(opt.gene_delim)
+        if sess is None:
+            return None
+        import weakref
+        weakref.finalize(d, sess.close)
+        d._nat_sess = sess
+    n_gene0, n_prot0 = d.n_gene, d.n_prot
+    nat = loader.parse_paf_native(fn, opt.min_prot_ratio, opt.min_prot_iden,
+                                  opt.score_adj_coef, sess=sess)
     if nat is None:
         return None
-    delim = opt.gene_delim
-    # global ids for this file's unique protein names (first-occurrence
-    # order). Every genome is typically aligned against the same protein
-    # set, so the name blob repeats byte-identically across files; memoize
-    # the intern pass per blob (pure cache: on a hit every name already has
-    # its global id, so no side effects are skipped).
-    blob = nat["prot_blob"]
-    lut_cache = getattr(d, "_pid_lut_cache", None)
-    if lut_cache is None:
-        lut_cache = d._pid_lut_cache = {}
-    cached = lut_cache.get(blob)
-    if cached is not None:
-        pid_lut, gid_lut = cached
-    else:
-        from ..native.loader import decode_names
-        prot_names = decode_names(blob)
-        pid_lut = np.empty(len(prot_names), np.int32)
-        gid_lut = np.empty(len(prot_names), np.int32)
-        # name -> (pid, gid) memo: files intern the same names in different
-        # orders, so the blob cache misses but individual names repeat
-        name_lut = getattr(d, "_name_lut", None)
-        if name_lut is None:
-            name_lut = d._name_lut = {}
-        for i, name in enumerate(prot_names):
-            hit = name_lut.get(name)
-            if hit is None:
-                di = name.find(delim)
-                gene_name = name[:di] if di >= 0 else name
-                gid = d.add_gene(gene_name)
-                d.gene_preferred[gid] = 1 if (opt.preferred and gene_name in opt.preferred) else 0
-                d.gene_included[gid] = 1 if (opt.incl and gene_name in opt.incl) else 0
-                pid = d.add_prot(name, gid)
-                d.prot_gid[pid] = gid
-                name_lut[name] = hit = (pid, gid)
-            pid_lut[i] = hit[0]
-            gid_lut[i] = hit[1]
-        lut_cache[blob] = (pid_lut, gid_lut)
+    n_gene1, n_prot1 = sess.counts()
+    if n_gene1 > n_gene0:
+        for name in sess.names_tail(0, n_gene0, n_gene1):
+            gid = len(d.gene_name)
+            d.gene_id[name] = gid
+            d.gene_name.append(name)
+            d.gene_len.append(0)
+            d.gene_preferred.append(
+                1 if (opt.preferred and name in opt.preferred) else 0)
+            d.gene_included.append(
+                1 if (opt.incl and name in opt.incl) else 0)
+            d.gene_rep_pid.append(-1)
+    pgarr = sess.prot_gid(n_prot1)
+    if n_prot1 > n_prot0:
+        gid_tail = pgarr[n_prot0:]
+        for i, name in enumerate(sess.names_tail(1, n_prot0, n_prot1)):
+            pid = len(d.prot_name)
+            d.prot_id[name] = pid
+            d.prot_name.append(name)
+            d.prot_len.append(0)
+            d.prot_gid.append(int(gid_tail[i]))
+            d.prot_rep.append(0)
+            d.prot_n.append(0)
+            d.prot_avg_score_adj.append(0)
+            d.prot_max_score_ori.append(0)
     # prot_len: last record per name wins; missing field-1 records reset to 0
     r_name = nat["r_name"]
     r_qlen = nat["r_qlen"]
@@ -343,7 +344,7 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
         ns = r_name[order]
         last = order[np.flatnonzero(np.concatenate((ns[1:] != ns[:-1], [True])))]
         pl = np.asarray(d.prot_len, np.int64)
-        tgt = pid_lut[r_name[last]]
+        tgt = r_name[last]
         newv = np.maximum(r_qlen[last].astype(np.int64), 0)
         chg = np.flatnonzero(pl[tgt] != newv)
         for k in chg:
@@ -352,7 +353,7 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
         has = r_qlen >= 0
         if has.any():
             gmax = np.full(d.n_gene, -1, np.int64)
-            np.maximum.at(gmax, gid_lut[r_name[has]],
+            np.maximum.at(gmax, pgarr[r_name[has]],
                           r_qlen[has].astype(np.int64))
             gl = np.asarray(d.gene_len, np.int64)
             for g in np.flatnonzero(gmax > gl):
@@ -376,7 +377,7 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
     # hit table
     n = len(nat["h_name"])
     hits = HitTable.empty(n)
-    hits.set("pid", pid_lut[nat["h_name"]])
+    hits.set("pid", nat["h_name"])      # global pids from the session
     for src, dst in (("h_qs", "qs"), ("h_qe", "qe"), ("h_mlen", "mlen"),
                      ("h_blen", "blen"), ("h_rank", "rank"),
                      ("h_score_ori", "score_ori"),

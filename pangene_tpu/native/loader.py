@@ -82,6 +82,25 @@ def get_lib():
         lib.pg_score_adj.restype = ctypes.c_int32
         lib.pg_score_adj.argtypes = [ctypes.c_int32, ctypes.c_double,
                                      ctypes.c_double, ctypes.c_double]
+        lib.pg_parse_paf_sess.restype = ctypes.c_void_p
+        lib.pg_parse_paf_sess.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double]
+        lib.pg_sess_new.restype = ctypes.c_void_p
+        lib.pg_sess_new.argtypes = [ctypes.c_char]
+        lib.pg_sess_free.argtypes = [ctypes.c_void_p]
+        lib.pg_sess_n_prot.restype = ctypes.c_int64
+        lib.pg_sess_n_prot.argtypes = [ctypes.c_void_p]
+        lib.pg_sess_n_gene.restype = ctypes.c_int64
+        lib.pg_sess_n_gene.argtypes = [ctypes.c_void_p]
+        lib.pg_sess_name_blob.restype = ctypes.c_void_p
+        lib.pg_sess_name_blob.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.pg_sess_name_offs.restype = ctypes.c_void_p
+        lib.pg_sess_name_offs.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.pg_sess_prot_gid_arr.restype = ctypes.c_void_p
+        lib.pg_sess_prot_gid_arr.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -117,13 +136,68 @@ def decode_names(blob: bytes):
     return [p.decode() for p in parts]
 
 
-def parse_paf_native(fn: str, min_ratio: float, min_iden: float,
-                     coef: float):
-    """Returns dict of numpy arrays + name lists, or None if unavailable."""
+class InternSession:
+    """Cross-file global name intern owned by the native parser."""
+
+    def __init__(self, lib, delim: str):
+        self._lib = lib
+        self.handle = lib.pg_sess_new(delim.encode()[:1] or b":")
+
+    def close(self):
+        if self.handle:
+            self._lib.pg_sess_free(self.handle)
+            self.handle = None
+
+    def counts(self):
+        return (int(self._lib.pg_sess_n_gene(self.handle)),
+                int(self._lib.pg_sess_n_prot(self.handle)))
+
+    def names_tail(self, which: int, start: int, total: int):
+        """Decode names [start, total) of table `which` (0=gene, 1=prot)."""
+        if total <= start:
+            return []
+        blob_len = ctypes.c_int64()
+        n = ctypes.c_int64()
+        bptr = self._lib.pg_sess_name_blob(self.handle, which,
+                                           ctypes.byref(blob_len),
+                                           ctypes.byref(n))
+        optr = self._lib.pg_sess_name_offs(self.handle, which)
+        offs = np.frombuffer(
+            (ctypes.c_char * (total * 8)).from_address(optr), np.int64)
+        lo = int(offs[start])
+        blob = ctypes.string_at(bptr + lo, int(blob_len.value) - lo)
+        return decode_names(blob)
+
+    def prot_gid(self, n: int) -> np.ndarray:
+        ptr = self._lib.pg_sess_prot_gid_arr(self.handle)
+        if n == 0 or not ptr:
+            return np.zeros(0, np.int32)
+        return np.frombuffer(
+            (ctypes.c_char * (n * 4)).from_address(ptr), np.int32).copy()
+
+
+def make_session(delim: str):
     lib = get_lib()
     if lib is None:
         return None
-    handle = lib.pg_parse_paf(fn.encode(), b":", min_ratio, min_iden, coef)
+    return InternSession(lib, delim)
+
+
+def parse_paf_native(fn: str, min_ratio: float, min_iden: float,
+                     coef: float, sess: "InternSession" = None):
+    """Returns dict of numpy arrays + name lists, or None if unavailable.
+
+    With `sess`, r_name/h_name carry GLOBAL protein ids (cross-file intern
+    in C) and the per-file prot blob is omitted."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if sess is not None:
+        handle = lib.pg_parse_paf_sess(sess.handle, fn.encode(), b":",
+                                       min_ratio, min_iden, coef)
+    else:
+        handle = lib.pg_parse_paf(fn.encode(), b":", min_ratio, min_iden,
+                                  coef)
     try:
         err = lib.pg_get_err(handle)
         if err:

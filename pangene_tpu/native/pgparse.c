@@ -117,23 +117,82 @@ static uint32_t intern_put(intern_t *t, const char *s, int len, int *absent)
     return t->n - 1;
 }
 
+/* ---------------- cross-file intern session ----------------
+ *
+ * Interns protein and gene names GLOBALLY across all input files so hit
+ * tables carry final global ids straight out of the parser (the reference
+ * does the same with its d_gene/d_prot dicts, read.c:151-170). Rank is
+ * still counted per file (read.c:170-171) via an epoch-tagged counter. */
+
+typedef struct {
+    intern_t prot;       /* global protein names */
+    intern_t gene;       /* global gene names */
+    buf_t prot_gid;      /* int32 global gene id per protein */
+    buf_t rank_cnt;      /* int32 per protein: occurrences this file - 1 */
+    buf_t rank_epoch;    /* int32 per protein: file epoch of rank_cnt */
+    int32_t epoch;
+    char delim;
+} pg_sess_t;
+
+pg_sess_t *pg_sess_new(char delim)
+{
+    pg_sess_t *s = (pg_sess_t *)calloc(1, sizeof(pg_sess_t));
+    intern_init(&s->prot);
+    intern_init(&s->gene);
+    s->delim = delim;
+    return s;
+}
+
+void pg_sess_free(pg_sess_t *s)
+{
+    if (!s) return;
+    intern_free(&s->prot);
+    intern_free(&s->gene);
+    free(s->prot_gid.p); free(s->rank_cnt.p); free(s->rank_epoch.p);
+    free(s);
+}
+
+int64_t pg_sess_n_prot(pg_sess_t *s) { return s->prot.n; }
+int64_t pg_sess_n_gene(pg_sess_t *s) { return s->gene.n; }
+
+const char *pg_sess_name_blob(pg_sess_t *s, int32_t which,
+                              int64_t *blob_len, int64_t *n)
+{
+    intern_t *t = which ? &s->prot : &s->gene;
+    *blob_len = (int64_t)t->blob.n;
+    *n = (int64_t)t->n;
+    return t->blob.p;
+}
+
+const int64_t *pg_sess_name_offs(pg_sess_t *s, int32_t which)
+{
+    intern_t *t = which ? &s->prot : &s->gene;
+    return (const int64_t *)t->offs.p;
+}
+
+const int32_t *pg_sess_prot_gid_arr(pg_sess_t *s)
+{
+    return (const int32_t *)s->prot_gid.p;
+}
+
 /* ---------------- output record arrays ---------------- */
 
 typedef struct {
     /* per input record (all records, side-effect stream) */
-    buf_t r_name;    /* int32 per-file protein name id */
+    buf_t r_name;    /* int32 protein name id (per-file, or global w/ sess) */
     buf_t r_qlen;    /* int32, -1 if field 1 missing */
     buf_t r_cid;     /* int32, -1 if field 5 not reached */
     buf_t r_ctglen;  /* int64, -1 if field 6 not reached */
     buf_t r_kept;    /* int8 */
     /* per kept hit */
-    buf_t h_name;    /* int32 per-file protein name id */
+    buf_t h_name;    /* int32 protein name id (per-file, or global w/ sess) */
     buf_t h_qs, h_qe, h_mlen, h_blen, h_rank, h_score_ori, h_score_adj;
     buf_t h_lof, h_n_exon, h_off_exon, h_cid, h_rev; /* int32 */
     buf_t h_cs, h_ce, h_cm;                          /* int64 */
     buf_t e_os, e_oe;                                /* int32 exon pool */
-    intern_t prot;   /* per-file protein names */
+    intern_t prot;   /* per-file protein names (legacy, sess == NULL) */
     intern_t ctg;    /* per-file contig names */
+    pg_sess_t *sess; /* optional cross-file intern session */
     int64_t n_records;
     char errmsg[256];
 } parse_out_t;
@@ -231,14 +290,38 @@ static int process_line(parse_out_t *o, char *line, int len, char delim,
     }
     line[len] = 0;
 
-    /* field 0: query name -> per-file intern + rank count */
+    /* field 0: query name -> intern + per-file rank count */
     {
         int absent;
         int flen = (n_fields > 1) ? (int)(fields[1] - fields[0] - 1)
                                   : (int)(line + len - fields[0]);
-        uint32_t nid = intern_put(&o->prot, fields[0], flen, &absent);
-        int32_t rank = absent ? 0 : ((int32_t *)o->prot.aux.p)[nid] + 1;
-        ((int32_t *)o->prot.aux.p)[nid] = rank;
+        uint32_t nid;
+        int32_t rank;
+        if (o->sess) {
+            pg_sess_t *S = o->sess;
+            nid = intern_put(&S->prot, fields[0], flen, &absent);
+            if (absent) {
+                const char *q = (const char *)memchr(fields[0], S->delim,
+                                                     flen);
+                int glen = q ? (int)(q - fields[0]) : flen;
+                int gabs;
+                uint32_t gid = intern_put(&S->gene, fields[0], glen, &gabs);
+                PUSH(S->prot_gid, int32_t, (int32_t)gid);
+                PUSH(S->rank_cnt, int32_t, 0);
+                PUSH(S->rank_epoch, int32_t, S->epoch);
+                rank = 0;
+            } else if (((int32_t *)S->rank_epoch.p)[nid] != S->epoch) {
+                ((int32_t *)S->rank_epoch.p)[nid] = S->epoch;
+                ((int32_t *)S->rank_cnt.p)[nid] = 0;
+                rank = 0;
+            } else {
+                rank = ++((int32_t *)S->rank_cnt.p)[nid];
+            }
+        } else {
+            nid = intern_put(&o->prot, fields[0], flen, &absent);
+            rank = absent ? 0 : ((int32_t *)o->prot.aux.p)[nid] + 1;
+            ((int32_t *)o->prot.aux.p)[nid] = rank;
+        }
         PUSH(o->r_name, int32_t, (int32_t)nid);
         PUSH(o->r_qlen, int32_t, -1);
         PUSH(o->r_cid, int32_t, -1);
@@ -326,13 +409,28 @@ static int process_line(parse_out_t *o, char *line, int len, char delim,
 
 /* ---------------- public API ---------------- */
 
+parse_out_t *pg_parse_paf_sess(pg_sess_t *sess, const char *fn, char delim,
+                               double min_ratio, double min_iden,
+                               double coef);
+
 parse_out_t *pg_parse_paf(const char *fn, char delim, double min_ratio,
                           double min_iden, double coef)
+{
+    return pg_parse_paf_sess(0, fn, delim, min_ratio, min_iden, coef);
+}
+
+/* Session variant: name ids in r_name/h_name are GLOBAL across all files
+ * parsed with the same session (one file-epoch bump per call). */
+parse_out_t *pg_parse_paf_sess(pg_sess_t *sess, const char *fn, char delim,
+                               double min_ratio, double min_iden,
+                               double coef)
 {
     parse_out_t *o = (parse_out_t *)calloc(1, sizeof(parse_out_t));
     gzFile fp;
     intern_init(&o->prot);
     intern_init(&o->ctg);
+    o->sess = sess;
+    if (sess) ++sess->epoch;
     fp = strcmp(fn, "-") ? gzopen(fn, "r") : gzdopen(0, "r");
     if (fp == 0) {
         snprintf(o->errmsg, sizeof(o->errmsg), "cannot open %s", fn);
