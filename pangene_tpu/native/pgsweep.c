@@ -576,34 +576,41 @@ int64_t pg_merge_arcs(
 
 /* Arc weak_br -> incident-hit propagation for one genome
  * (pg_mark_branch_flt_hit, branch.c:108-145; ops/branch.py semantics).
- * keep is the kept-hit row-id list in cm order; arc_x is the x-sorted arc
- * table searched by binary search in both walk directions. */
+ * The kept walk is built inline from flt/shadow through the cm-order view
+ * (NULL = already cm-physical); arc_x is the x-sorted (typically
+ * marked-only) arc table searched in both walk directions. */
 void pg_propagate_weak(
-    int64_t n_keep, const int64_t *keep,
+    int64_t n, const int64_t *view,
+    const uint8_t *flt, const uint8_t *shadow,
     const int32_t *pid, const uint8_t *rev, const int32_t *cid,
     const int32_t *prot_gid, const int32_t *g2s,
     int64_t n_arc, const uint64_t *arc_x, const uint8_t *arc_w,
     uint8_t *weak_br)
 {
-    int64_t k;
-    for (k = 1; k < n_keep; ++k) {
-        int64_t i0 = keep[k - 1], i1 = keep[k];
-        uint64_t v, w, key;
+    int64_t k, prev = -1;
+    uint64_t prev_w = 0;
+    for (k = 0; k < n; ++k) {
+        int64_t i = view ? view[k] : k;
+        uint64_t w, key;
         int d;
-        if (cid[i0] != cid[i1]) continue;
-        v = ((uint64_t)g2s[prot_gid[pid[i0]]] << 1) | rev[i0];
-        w = ((uint64_t)g2s[prot_gid[pid[i1]]] << 1) | rev[i1];
-        for (d = 0; d < 2; ++d) {
-            int64_t lo = 0, hi = n_arc;
-            int64_t tgt = d == 0 ? i0 : i1;
-            key = d == 0 ? (v << 32) | w : ((w ^ 1) << 32) | (v ^ 1);
-            while (lo < hi) {
-                int64_t mid = (lo + hi) >> 1;
-                if (arc_x[mid] < key) lo = mid + 1; else hi = mid;
+        if (flt[i] || shadow[i]) continue;
+        w = ((uint64_t)g2s[prot_gid[pid[i]]] << 1) | rev[i];
+        if (prev >= 0 && cid[prev] == cid[i]) {
+            for (d = 0; d < 2; ++d) {
+                int64_t lo = 0, hi = n_arc;
+                int64_t tgt = d == 0 ? prev : i;
+                key = d == 0 ? (prev_w << 32) | w
+                             : ((w ^ 1) << 32) | (prev_w ^ 1);
+                while (lo < hi) {
+                    int64_t mid = (lo + hi) >> 1;
+                    if (arc_x[mid] < key) lo = mid + 1; else hi = mid;
+                }
+                if (lo < n_arc && arc_x[lo] == key
+                    && arc_w[lo] > weak_br[tgt])
+                    weak_br[tgt] = arc_w[lo];
             }
-            if (lo < n_arc && arc_x[lo] == key && arc_w[lo] > weak_br[tgt])
-                weak_br[tgt] = arc_w[lo];
         }
+        prev = i; prev_w = w;
     }
 }
 

@@ -194,7 +194,11 @@ def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
                 x, n, dist, s1, s2, seg_cnt = memo[4]
             else:
                 any_recomputed = True
-                sweep.shadow(opt, d, gen, cal_dom_sc=False)
+                # shadow depends on (flt, weak_br) only — skip the sweep
+                # when those repeat and just the g2s part of the key moved
+                if getattr(gen, "_shadow_memo", None) != (fb, wb):
+                    sweep.shadow(opt, d, gen, cal_dom_sc=False)
+                    gen._shadow_memo = (fb, wb)
                 view = cm_cycle_view(gen)
                 if view is None:
                     hit_sort(gen, by_cm=True)

@@ -290,13 +290,16 @@ def mark_branch_flt_hit(opt: PgOpt, g: Graph) -> int:
         view = cm_cycle_view(gen)
         if view is None:
             hit_sort(gen, by_cm=True)
-            keep = np.flatnonzero((h.flt == 0) & (h.shadow == 0))
+        if native:
+            sweep_native.propagate_weak(d, gen, g.g2s, view, arc_xm, arc_wm)
+            keep = ()
         else:
-            keep = view[np.flatnonzero((h.flt[view] == 0)
-                                       & (h.shadow[view] == 0))]
-        if native and len(keep) >= 2 and len(arc_x):
-            sweep_native.propagate_weak(d, gen, g.g2s, keep, arc_xm, arc_wm)
-        elif len(keep) >= 2 and len(arc_x):
+            if view is None:
+                keep = np.flatnonzero((h.flt == 0) & (h.shadow == 0))
+            else:
+                keep = view[np.flatnonzero((h.flt[view] == 0)
+                                           & (h.shadow[view] == 0))]
+        if (not native) and len(keep) >= 2 and len(arc_x):
             sid = g.g2s[prot_gid[h.pid[keep]]].astype(np.int64)
             w = (sid << 1) | h.rev[keep].astype(np.int64)
             same = h.cid[keep[1:]] == h.cid[keep[:-1]]

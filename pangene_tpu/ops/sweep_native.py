@@ -95,6 +95,7 @@ def _get_lib():
         lib.pg_propagate_weak.restype = None
         lib.pg_propagate_weak.argtypes = [
             ctypes.c_int64, _i64p,
+            _u8p, _u8p,
             _i32p, _u8p, _i32p,
             _i32p, _i32p,
             ctypes.c_int64, _u64p, _u8p,
@@ -390,16 +391,20 @@ def merge_arcs_native(x, n, dist, s1, s2):
 
 
 def propagate_weak(d: DataSet, gen: Genome, g2s: np.ndarray,
-                   keep: np.ndarray, arc_x: np.ndarray,
-                   arc_w: np.ndarray) -> None:
-    """Native arc->hit weak_br propagation for one genome's kept list."""
+                   view, arc_x: np.ndarray, arc_w: np.ndarray) -> None:
+    """Native arc->hit weak_br propagation; the kept walk is built inside
+    C from flt/shadow through the cm-order view (None = cm-physical)."""
     lib = _get_lib()
     h = gen.hits
+    n = len(h)
+    if n == 0 or len(arc_x) == 0:
+        return
     pg, _ = _globals(d)
-    keepc = np.ascontiguousarray(keep, np.int64)
     g2sc = _c(g2s, np.int32)
+    vp = _p(view, np.int64, _i64p) if view is not None else None
     lib.pg_propagate_weak(
-        len(keepc), _p(keepc, np.int64, _i64p),
+        n, vp,
+        _p(h.flt, np.uint8, _u8p), _p(h.shadow, np.uint8, _u8p),
         _p(h.pid, np.int32, _i32p), _p(h.rev, np.uint8, _u8p),
         _p(h.cid, np.int32, _i32p),
         _p(pg, np.int32, _i32p),
