@@ -199,6 +199,19 @@ typedef struct {
 
 /* ---------------- PAF line parsing ---------------- */
 
+/* inline decimal parse (locale-free, no errno): the reference's strtol
+ * usage is the parse hot path at ~30 calls/record incl. CIGAR ops */
+static inline int64_t fast_atoll(const char *p, char **end)
+{
+    int64_t v = 0;
+    int neg = 0;
+    if (*p == '-') { neg = 1; ++p; }
+    else if (*p == '+') ++p;
+    while (*p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+    if (end) *end = (char *)p;
+    return neg ? -v : v;
+}
+
 static int parse_cigar_exons(parse_out_t *o, const char *cg, int rev,
                              int64_t span, int32_t *n_exon_out,
                              int32_t *n_fs_out)
@@ -213,7 +226,7 @@ static int parse_cigar_exons(parse_out_t *o, const char *cg, int rev,
     tmp_os[0] = 0; tmp_oe[0] = 0;
     while (*p && *p != '\t') {
         char *r;
-        long l = strtol(p, &r, 10);
+        long l = (long)fast_atoll(p, &r);
         char op = *r;
         if (op == 'N' || op == 'U' || op == 'V') {
             int64_t st, en;
@@ -328,11 +341,11 @@ static int process_line(parse_out_t *o, char *line, int len, char delim,
         PUSH(o->r_ctglen, int64_t, -1);
         PUSH(o->r_kept, int8_t, 0);
         if (n_fields < 2) return 0;
-        int32_t qlen = (int32_t)strtol(fields[1], 0, 10);
+        int32_t qlen = (int32_t)fast_atoll(fields[1], 0);
         ((int32_t *)o->r_qlen.p)[o->r_qlen.n - 1] = qlen;
         if (n_fields < 11) return 0;
-        int32_t qs = (int32_t)strtol(fields[2], 0, 10);
-        int32_t qe = (int32_t)strtol(fields[3], 0, 10);
+        int32_t qs = (int32_t)fast_atoll(fields[2], 0);
+        int32_t qe = (int32_t)fast_atoll(fields[3], 0);
         if (qe - qs < qlen * min_ratio) return 0;   /* read.c:182 */
         int rev;
         if (fields[4][0] == '+') rev = 0;
@@ -341,12 +354,12 @@ static int process_line(parse_out_t *o, char *line, int len, char delim,
         int clen = (int)strlen(fields[5]);
         uint32_t cid = intern_put(&o->ctg, fields[5], clen, &absent);
         ((int32_t *)o->r_cid.p)[o->r_cid.n - 1] = (int32_t)cid;
-        int64_t ctg_len = strtoll(fields[6], 0, 10);
+        int64_t ctg_len = fast_atoll(fields[6], 0);
         ((int64_t *)o->r_ctglen.p)[o->r_ctglen.n - 1] = ctg_len;
-        int64_t cs = strtoll(fields[7], 0, 10);
-        int64_t ce = strtoll(fields[8], 0, 10);
-        int32_t mlen = (int32_t)strtol(fields[9], 0, 10);
-        int32_t blen = (int32_t)strtol(fields[10], 0, 10);
+        int64_t cs = fast_atoll(fields[7], 0);
+        int64_t ce = fast_atoll(fields[8], 0);
+        int32_t mlen = (int32_t)fast_atoll(fields[9], 0);
+        int32_t blen = (int32_t)fast_atoll(fields[10], 0);
         if (mlen < blen * min_iden) return 0;       /* read.c:209 */
         int32_t score_ori = 0, score_adj = 0, n_fs_tag = -1, n_stop_tag = -1;
         int32_t n_exon = -1, cig_fs = 0;
@@ -356,13 +369,13 @@ static int process_line(parse_out_t *o, char *line, int len, char delim,
             if (strncmp(f, "ms:i:", 5) == 0) {
                 double div = 1.0 - (double)mlen / blen;
                 double uncov = 1.0 - (double)(qe - qs) / qlen;
-                score_ori = (int32_t)strtol(f + 5, 0, 10);
+                score_ori = (int32_t)fast_atoll(f + 5, 0);
                 score_adj = (int32_t)(score_ori *
                                       expl(-coef * (div + uncov)) + .499);
             } else if (strncmp(f, "fs:i:", 5) == 0) {
-                n_fs_tag = (int32_t)strtol(f + 5, 0, 10);
+                n_fs_tag = (int32_t)fast_atoll(f + 5, 0);
             } else if (strncmp(f, "st:i:", 5) == 0) {
-                n_stop_tag = (int32_t)strtol(f + 5, 0, 10);
+                n_stop_tag = (int32_t)fast_atoll(f + 5, 0);
             } else if (strncmp(f, "cg:Z:", 5) == 0) {
                 int rc = parse_cigar_exons(o, f + 5, rev, ce - cs,
                                            &n_exon, &cig_fs);
