@@ -169,6 +169,9 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
                 opt.flag |= PG_F_WRITE_VTX_SEL
             elif c == "v":
                 util.verbose = int(val())
+            elif c == "O":
+                pass   # accepted, no handler — exactly like the reference
+                       # (in main.c:70's optstring but never dispatched)
             else:
                 sys.stderr.write(USAGE)
                 raise SystemExit(1)

@@ -204,8 +204,16 @@ def _pallas_call(B, W, K, H, check_strand, cov_p, cov_k, n_prog, interpret):
 @functools.partial(jax.jit, static_argnames=(
     "B", "W", "K", "H", "check_strand", "cov_p", "cov_k", "n_prog",
     "interpret"))
-def _run(cols_halo, eos_halo, eoe_halo, *, B, W, K, H, check_strand,
+def _run(cols, eos, eoe, *, B, W, K, H, check_strand,
          cov_p, cov_k, n_prog, interpret):
+    # materialize the overlapping halo views ON DEVICE: the host uploads
+    # each column once and the (B+W)/B duplication happens as an XLA
+    # gather in HBM instead of inflating the host->device transfer
+    HW = W + B
+    pidx = (jnp.arange(n_prog)[:, None] * B + jnp.arange(HW)[None, :])
+    cols_halo = cols[:, pidx].transpose(1, 0, 2).reshape(n_prog * 16, HW)
+    eos_halo = eos[:, pidx.reshape(-1)]
+    eoe_halo = eoe[:, pidx.reshape(-1)]
     return _pallas_call(B, W, K, H, check_strand, cov_p, cov_k, n_prog,
                         interpret)(cols_halo, eos_halo, eoe_halo)
 
@@ -240,18 +248,12 @@ def shadow_pallas_genome(cols_np: dict, K: int, W: int, H: int,
     eos[:, W:W + H] = cols_np["eos"].T
     eoe[:, W:W + H] = cols_np["eoe"].T
 
-    # materialize halo views (overlap by W): program p sees [p*B, p*B + HW)
-    pidx = (np.arange(n_prog)[:, None] * B + np.arange(HW)[None, :])
-    cols_halo = np.ascontiguousarray(cols[:, pidx].transpose(1, 0, 2)) \
-        .reshape(n_prog * 16, HW)        # rows p*16..p*16+15
-    eos_halo = eos[:, pidx.reshape(-1)]        # (K, n_prog*HW)
-    eoe_halo = eoe[:, pidx.reshape(-1)]
-
     # Mosaic has no 64-bit support; the package enables x64 globally, so
-    # trace/lower this all-int32 kernel under a disable_x64 scope
+    # trace/lower this all-int32 kernel under a disable_x64 scope.
+    # Halo views are materialized on device inside _run.
     with jax.enable_x64(False):
-        outs = _run(jnp.asarray(cols_halo), jnp.asarray(eos_halo),
-                    jnp.asarray(eoe_halo), B=B, W=W, K=K, H=H,
+        outs = _run(jnp.asarray(cols), jnp.asarray(eos),
+                    jnp.asarray(eoe), B=B, W=W, K=K, H=H,
                     check_strand=check_strand, cov_p=cov_p, cov_k=cov_k,
                     n_prog=n_prog, interpret=interpret)
     o = np.asarray(outs).reshape(8, n_prog, HW)
