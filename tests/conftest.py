@@ -28,3 +28,7 @@ def c4_pafs():
 @pytest.fixture(scope="session")
 def golden_dir():
     return GOLDEN
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")

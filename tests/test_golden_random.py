@@ -1,0 +1,97 @@
+"""Golden differential fuzz vs the REFERENCE BINARY.
+
+Builds lh3/pangene from the read-only reference checkout into /tmp (once,
+cached) and byte-compares full-pipeline stdout on randomized synthetic
+corpora and randomized option combinations. Skipped when no reference
+sources or compiler are available — the in-repo oracles
+(tests/test_engine_equiv.py, tests/test_parity_c4.py) still pin behavior.
+"""
+import io
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from pangene_tpu import pipeline, util
+from pangene_tpu.options import PgOpt
+from pangene_tpu.testing import synth_paf_files
+
+REF_SRC = "/root/reference"
+REF_BIN = "/tmp/refbuild/pangene"
+
+
+def _ensure_ref():
+    if os.path.exists(REF_BIN):
+        return True
+    if not os.path.isdir(REF_SRC):
+        return False
+    os.makedirs("/tmp/refbuild", exist_ok=True)
+    for f in os.listdir(REF_SRC):
+        if f.endswith((".c", ".h")) or f == "Makefile":
+            shutil.copy(os.path.join(REF_SRC, f), "/tmp/refbuild/")
+    r = subprocess.run(["make", "-C", "/tmp/refbuild", "-s"],
+                       capture_output=True)
+    return r.returncode == 0 and os.path.exists(REF_BIN)
+
+
+pytestmark = pytest.mark.skipif(not _ensure_ref(),
+                                reason="reference binary unavailable")
+
+OPTION_POOL = [
+    ["-e0.3"], ["-l0.6"], ["-m1.5"], ["-f0.3"], ["-f0.9"], ["-J"], ["-E"],
+    ["-p0.2"], ["-c5"], ["-g8"], ["-r2"], ["-b0.05"], ["-B0.3"],
+    ["-y0.1"], ["-T5"], ["-F"], ["-a2"], ["-S"], ["-w"], ["-D", "500000"],
+    ["-C", "3"], ["--ori-sc"], ["--bed=raw"], ["--bed=flag"],
+    ["--bed=walk"],
+]
+
+
+def run_ref(args, files):
+    r = subprocess.run([REF_BIN] + args + files, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    return r.stdout.decode()
+
+
+def run_ours(args, files):
+    from pangene_tpu import cli
+    util.verbose = 0
+    out = io.StringIO()
+    old = sys.stdout
+    sys.stdout = out
+    try:
+        cli.main(args + files)
+    finally:
+        sys.stdout = old
+    return out.getvalue()
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    res = []
+    for seed, ng, nge in ((21, 5, 150), (22, 9, 80)):
+        d = tmp_path_factory.mktemp("g%d" % seed)
+        synth_paf_files(str(d), n_genome=ng, n_gene=nge, n_iso=3, seed=seed)
+        res.append(sorted(str(p) for p in d.iterdir()
+                          if str(p).endswith(".paf.gz")))
+    return res
+
+
+def test_golden_default(corpora):
+    for files in corpora:
+        assert run_ours([], files) == run_ref([], files)
+
+
+def test_golden_random_options(corpora):
+    rng = random.Random(7)
+    for trial in range(12):
+        files = corpora[trial % len(corpora)]
+        picks = rng.sample(OPTION_POOL, rng.randint(1, 3))
+        args = [a for p in picks for a in p]
+        # --bed variants conflict with -w ordering only cosmetically; both
+        # sides get identical args so any combination is fair game
+        ours = run_ours(list(args), files)
+        ref = run_ref(list(args), files)
+        assert ours == ref, "mismatch with options %r" % (args,)
