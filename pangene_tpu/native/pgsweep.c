@@ -61,6 +61,48 @@ static int64_t ov_len(const int32_t *eos, const int32_t *eoe,
  * their stale shadow flag; the window pointer advances only for unfiltered
  * i; dominators are recorded only when the winner's packed score is > 0;
  * ties keep the first (smallest other-index) dominator. */
+/* hot per-hit record for the sweep inner loop: one cacheline instead of
+ * ten scattered column reads per j */
+typedef struct {
+    int64_t cs, ce;
+    uint64_t pscore;
+    int64_t len;
+    int32_t cid, gid, rank, off_exon;
+    int32_t n_exon, rev, flt, weak;
+} hot_t;
+
+static hot_t *pack_hot(
+    int64_t n,
+    const int32_t *pid, const int32_t *rank, const int32_t *score_adj,
+    const int32_t *n_exon, const int32_t *off_exon,
+    const int32_t *cid, const uint8_t *rev, const uint8_t *flt,
+    const uint8_t *weak_br,
+    const int64_t *cs, const int64_t *ce,
+    const int32_t *eos, const int32_t *eoe,
+    const int32_t *prot_gid, const uint8_t *gene_pref)
+{
+    hot_t *h = (hot_t *)malloc((n ? n : 1) * sizeof(hot_t));
+    int64_t i;
+    for (i = 0; i < n; ++i) {
+        int32_t k, e = 0, g = prot_gid[pid[i]];
+        for (k = 0; k < n_exon[i]; ++k)
+            e += eoe[off_exon[i] + k] - eos[off_exon[i] + k];
+        h[i].cs = cs[i];
+        h[i].ce = ce[i];
+        h[i].pscore = packed_score(score_adj[i], gene_pref[g], pid[i]);
+        h[i].len = e;
+        h[i].cid = cid[i];
+        h[i].gid = g;
+        h[i].rank = rank[i];
+        h[i].off_exon = off_exon[i];
+        h[i].n_exon = n_exon[i];
+        h[i].rev = rev[i];
+        h[i].flt = flt[i];
+        h[i].weak = weak_br ? weak_br[i] : 0;
+    }
+    return h;
+}
+
 int64_t pg_sweep_shadow(
     int64_t n,
     const int32_t *pid, const int32_t *rank,
@@ -75,57 +117,53 @@ int64_t pg_sweep_shadow(
     uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom)
 {
     int64_t i, i0 = 0, n_shadow = 0;
-    int64_t *lens, *tmp_ov;
-    uint64_t *tmp_score, *pscore;
-    int32_t *tmp_aid, *gid;
+    int64_t *tmp_ov;
+    uint64_t *tmp_score;
+    int32_t *tmp_aid;
+    hot_t *ht;
     if (n == 0) return 0;
-    lens = (int64_t *)malloc(n * 8);
     tmp_ov = (int64_t *)calloc(n, 8);
     tmp_score = (uint64_t *)calloc(n, 8);
-    pscore = (uint64_t *)malloc(n * 8);
     tmp_aid = (int32_t *)calloc(n, 4);
-    gid = (int32_t *)malloc(n * 4);
-    for (i = 0; i < n; ++i) {
-        int32_t k, e = 0;
-        for (k = 0; k < n_exon[i]; ++k)
-            e += eoe[off_exon[i] + k] - eos[off_exon[i] + k];
-        lens[i] = e;
-        gid[i] = prot_gid[pid[i]];
-        pscore[i] = packed_score(score_adj[i], gene_pref[gid[i]], pid[i]);
-    }
+    ht = pack_hot(n, pid, rank, score_adj, n_exon, off_exon, cid, rev,
+                  flt, weak_br, cs, ce, eos, eoe, prot_gid, gene_pref);
     for (i = 1; i < n; ++i) {
         int64_t j;
+        const hot_t hi_r = ht[i];
         uint64_t si;
-        uint8_t wi;
-        if (flt[i]) continue;
-        while (i0 < i && !(cid[i0] == cid[i] && ce[i0] > cs[i])) ++i0;
+        int32_t wi;
+        if (hi_r.flt) continue;
+        while (i0 < i && !(ht[i0].cid == hi_r.cid && ht[i0].ce > hi_r.cs))
+            ++i0;
         shadow[i] = 0;
-        si = pscore[i];
-        wi = weak_br[i];
+        si = hi_r.pscore;
+        wi = hi_r.weak;
         for (j = i0; j < i; ++j) {
+            const hot_t *hj = &ht[j];
             int64_t ov, loser, winner;
             uint64_t sj;
-            uint8_t wj;
-            if (ce[j] <= cs[i] || flt[j]) continue;
-            if (cid[j] != cid[i]) continue;
-            if (check_strand && rev[i] != rev[j]) continue;
-            ov = ov_len(eos, eoe, cs[j], off_exon[j], n_exon[j],
-                        cs[i], off_exon[i], n_exon[i]);
+            int32_t wj;
+            if (hj->ce <= hi_r.cs || hj->flt) continue;
+            if (hj->cid != hi_r.cid) continue;
+            if (check_strand && hi_r.rev != hj->rev) continue;
+            ov = ov_len(eos, eoe, hj->cs, hj->off_exon, hj->n_exon,
+                        hi_r.cs, hi_r.off_exon, hi_r.n_exon);
             if (ov == 0) continue;
-            if (gid[i] != gid[j]) {
-                int64_t m = lens[i] < lens[j] ? lens[i] : lens[j];
+            if (hi_r.gid != hj->gid) {
+                int64_t m = hi_r.len < hj->len ? hi_r.len : hj->len;
                 if ((double)ov / (double)m < min_ov_ratio) continue;
             }
-            sj = pscore[j];
-            wj = weak_br[j];
-            if (gid[i] == gid[j] || wi == wj)
-                loser = (si < sj || (si == sj && rank[i] > rank[j])) ? i : j;
+            sj = hj->pscore;
+            wj = hj->weak;
+            if (hi_r.gid == hj->gid || wi == wj)
+                loser = (si < sj || (si == sj && hi_r.rank > hj->rank))
+                    ? i : j;
             else
                 loser = wi > wj ? i : j;
             winner = loser == i ? j : i;
             shadow[loser] = 1;
-            if (tmp_score[loser] < pscore[winner]) {
-                tmp_score[loser] = pscore[winner];
+            if (tmp_score[loser] < ht[winner].pscore) {
+                tmp_score[loser] = ht[winner].pscore;
                 tmp_aid[loser] = (int32_t)winner;
                 tmp_ov[loser] = ov;
             }
@@ -140,16 +178,15 @@ int64_t pg_sweep_shadow(
             pid_dom[i] = pid[j];
             if (cal_dom_sc) {
                 double b = (double)score_ori[i]
-                    * (1.0 - (double)tmp_ov[i] / (double)lens[i])
+                    * (1.0 - (double)tmp_ov[i] / (double)ht[i].len)
                     + (double)score_ori[j]
-                    * ((double)tmp_ov[i] / (double)lens[j]) + 0.499;
+                    * ((double)tmp_ov[i] / (double)ht[j].len) + 0.499;
                 score_dom[i] = (int32_t)(int64_t)b;
             }
         }
         if (shadow[i]) ++n_shadow;
     }
-    free(lens); free(tmp_ov); free(tmp_score); free(pscore);
-    free(tmp_aid); free(gid);
+    free(tmp_ov); free(tmp_score); free(tmp_aid); free(ht);
     return n_shadow;
 }
 
