@@ -74,7 +74,7 @@ def test_c4_call_rccx(capsys):
 def test_bibubble_definitional_checker(capsys):
     """Brute-force check of the generalized-bibubble definition
     (tex/pangene.tex:349-356) on every reported t2/t1 bubble."""
-    for fn in sorted(BUBBLE.glob("t2-*.gfa")) + sorted(BUBBLE.glob("t1-1.gfa")):
+    for fn in sorted(BUBBLE.glob("t2-*.gfa")) + sorted(BUBBLE.glob("t1-*.gfa")):
         g = GFA().from_file(str(fn))
         g.symmetrize()
         net = NetGraph(g, False, None)
