@@ -130,11 +130,16 @@ def available() -> bool:
     return _get_lib() is not None
 
 
+_DEBUG_PTRS = bool(os.environ.get("PANGENE_DEBUG_PTRS"))
+
+
 def _p(a: np.ndarray, dt, pt=None):
     """Raw data address. The caller MUST hold a reference to `a` for the
     duration of the C call — never pass a temporary (e.g. an
-    ascontiguousarray copy) directly; bind it to a local first."""
-    assert a.dtype == dt and a.flags.c_contiguous
+    ascontiguousarray copy) directly; bind it to a local first.
+    Set PANGENE_DEBUG_PTRS=1 to re-enable dtype/contiguity validation."""
+    if _DEBUG_PTRS:
+        assert a.dtype == dt and a.flags.c_contiguous
     return a.ctypes.data
 
 
@@ -400,7 +405,8 @@ def propagate_weak(d: DataSet, gen: Genome, g2s: np.ndarray,
     if n == 0 or len(arc_x) == 0:
         return
     pg, _ = _globals(d)
-    g2sc = _c(g2s, np.int32)
+    g2sc = g2s if (g2s.dtype == np.int32 and g2s.flags.c_contiguous) \
+        else _c(g2s, np.int32)
     vp = _p(view, np.int64, _i64p) if view is not None else None
     lib.pg_propagate_weak(
         n, vp,

@@ -331,6 +331,14 @@ def gen_arc_sharded(opt: PgOpt, q) -> None:
     tot_cnt = small[:ng]
     n_genome = small[ng:2 * ng]
     amb_any = small[-1]
+    # abort-on-desync validation of the psum'd reductions (SURVEY §5): a
+    # shard disagreeing on topology would corrupt these silently otherwise
+    if len(n_genome) and (int(n_genome.max(initial=0)) > G
+                          or int(n_genome.min(initial=0)) < 0
+                          or int(tot_cnt.min(initial=0)) < 0):
+        raise RuntimeError(
+            "sharded reduction desync: per-gene genome counts outside "
+            "[0, %d] — device shards disagree on the hit tables" % G)
     o = 0
     shadow = big[:, o:o + H]; o += H
     b_score = big[:, o:o + H].view(np.uint64); o += H
