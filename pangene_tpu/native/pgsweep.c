@@ -353,6 +353,55 @@ void pg_mark_branch(
     rep_free(&r);
 }
 
+int64_t pg_walk_arcs(
+    int64_t n, const int64_t *view,
+    const uint8_t *flt, const uint8_t *shadow,
+    const int32_t *pid, const uint8_t *rev, const int32_t *cid,
+    const int64_t *cm,
+    const int32_t *score_ori, const int32_t *score_dom,
+    const int32_t *pid_dom0,
+    const int32_t *prot_gid, const int32_t *g2s,
+    int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
+    uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
+    int32_t *out_s1, int32_t *out_s2);
+
+/* Fused per-genome round stage: shadow sweep (cal_dom_sc = 0) followed by
+ * walk extraction + dedupe, one crossing of the ctypes boundary per
+ * genome per round instead of two. run_shadow = 0 skips the sweep (the
+ * Python memo layer proved (flt, weak_br) unchanged since the last one).
+ * Returns pg_walk_arcs' result. */
+int64_t pg_round_genome(
+    int64_t n,
+    const int32_t *pid, const int32_t *rank,
+    const int32_t *score_adj, const int32_t *score_ori,
+    const int32_t *n_exon, const int32_t *off_exon,
+    const int32_t *cid, const uint8_t *rev, const uint8_t *flt,
+    const uint8_t *weak_br,
+    const int64_t *cs, const int64_t *ce,
+    const int32_t *eos, const int32_t *eoe,
+    const int32_t *prot_gid, const uint8_t *gene_pref,
+    int32_t check_strand, double min_ov_ratio,
+    uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom,
+    int32_t run_shadow,
+    const int64_t *view,
+    const int64_t *cm,
+    const int32_t *pid_dom0,
+    const int32_t *g2s,
+    int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
+    uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
+    int32_t *out_s1, int32_t *out_s2)
+{
+    if (run_shadow)
+        pg_sweep_shadow(n, pid, rank, score_adj, score_ori, n_exon,
+                        off_exon, cid, rev, flt, weak_br, cs, ce, eos, eoe,
+                        prot_gid, gene_pref, check_strand, min_ov_ratio,
+                        0, shadow, pid_dom, score_dom);
+    return pg_walk_arcs(n, view, flt, shadow, pid, rev, cid, cm,
+                        score_ori, score_dom, pid_dom0, prot_gid, g2s,
+                        use_ori, n_seg, seg_cnt,
+                        out_x, out_n, out_dist, out_s1, out_s2);
+}
+
 /* ---------------- arc extraction / dedupe / merge ---------------- */
 
 typedef struct { uint64_t x; int64_t d; int32_t s1, s2; } tmparc_t;

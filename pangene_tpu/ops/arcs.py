@@ -196,15 +196,17 @@ def gen_arc_loop(opt: PgOpt, g: Graph) -> None:
                 any_recomputed = True
                 # shadow depends on (flt, weak_br) only — skip the sweep
                 # when those repeat and just the g2s part of the key moved
-                if getattr(gen, "_shadow_memo", None) != (fb, wb):
-                    sweep.shadow(opt, d, gen, cal_dom_sc=False)
+                run_shadow = getattr(gen, "_shadow_memo", None) != (fb, wb)
+                if run_shadow:
                     gen._shadow_memo = (fb, wb)
                 view = cm_cycle_view(gen)
                 if view is None:
+                    if run_shadow:
+                        sweep.shadow(opt, d, gen, cal_dom_sc=False)
+                        run_shadow = False
                     hit_sort(gen, by_cm=True)
-                x, n, dist, s1, s2, seg_cnt = sweep_native.walk_arcs(
-                    d, gen, g.g2s, use_ori, g.n_seg,
-                    view if view is not None else None)
+                x, n, dist, s1, s2, seg_cnt = sweep_native.round_genome(
+                    opt, d, gen, g.g2s, use_ori, g.n_seg, view, run_shadow)
                 if view is None:
                     hit_sort(gen, by_cm=False)
                 gen._arc_memo = (fb, wb, g2s_b, use_ori,

@@ -80,6 +80,24 @@ def _get_lib():
             ctypes.c_int64, _u64p, _i32p, _i32p, _i32p, _i32p,
             _u64p, _i32p, _i32p, _i32p, _i32p, _i32p,
         ]
+        lib.pg_round_genome.restype = ctypes.c_int64
+        lib.pg_round_genome.argtypes = [
+            ctypes.c_int64,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u8p, _u8p, _u8p,
+            _i64p, _i64p,
+            _i32p, _i32p,
+            _i32p, _u8p,
+            ctypes.c_int32, ctypes.c_double,
+            _u8p, _i32p, _i32p,
+            ctypes.c_int32,
+            _i64p,
+            _i64p,
+            _i32p,
+            _i32p,
+            ctypes.c_int32, ctypes.c_int32, _i32p,
+            ctypes.c_void_p, _i32p, _i32p, _i32p, _i32p,
+        ]
         lib.pg_rep_pos.restype = ctypes.c_int64
         lib.pg_rep_pos.argtypes = [
             ctypes.c_int64, _u8p, _u8p, _i32p, _i32p, _i64p,
@@ -297,6 +315,56 @@ def walk_arcs(d: DataSet, gen: Genome, g2s: np.ndarray, use_ori: bool,
         _p(h.score_ori, np.int32, _i32p), _p(h.score_dom, np.int32, _i32p),
         _p(h.pid_dom0, np.int32, _i32p),
         _p(pg, np.int32, _i32p), _p(g2sc, np.int32, _i32p),
+        1 if use_ori else 0, n_seg, _p(seg_cnt, np.int32, _i32p),
+        _p(out_x, np.uint64, _u64p), _p(out_n, np.int32, _i32p),
+        _p(out_dist, np.int32, _i32p),
+        _p(out_s1, np.int32, _i32p), _p(out_s2, np.int32, _i32p)))
+    assert m >= 0, "kept hit maps to deleted segment"
+    return (out_x[:m], out_n[:m], out_dist[:m], out_s1[:m], out_s2[:m],
+            seg_cnt[:n_seg])
+
+
+def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
+                 use_ori: bool, n_seg: int, view, run_shadow: bool):
+    """Fused shadow(cal=0) + walk + dedupe for one genome, one C call.
+    Returns (x, n, dist, s1, s2, seg_cnt)."""
+    lib = _get_lib()
+    h = gen.hits
+    n = len(h)
+    pg, gp = _globals(d)
+    cap = max(2 * (n - 1), 1) if n > 1 else 1
+    out_x = np.empty(cap, np.uint64)
+    out_n = np.empty(cap, np.int32)
+    out_dist = np.empty(cap, np.int32)
+    out_s1 = np.empty(cap, np.int32)
+    out_s2 = np.empty(cap, np.int32)
+    seg_cnt = np.zeros(max(n_seg, 1), np.int32)
+    if n == 0:
+        return (out_x[:0], out_n[:0], out_dist[:0], out_s1[:0], out_s2[:0],
+                seg_cnt[:n_seg])
+    eos, eoe = _exon_ptrs(gen)
+    g2sc = g2s if (g2s.dtype == np.int32 and g2s.flags.c_contiguous) \
+        else _c(g2s, np.int32)
+    vp = _p(view, np.int64, _i64p) if view is not None else None
+    m = int(lib.pg_round_genome(
+        n,
+        _p(h.pid, np.int32, _i32p), _p(h.rank, np.int32, _i32p),
+        _p(h.score_adj, np.int32, _i32p), _p(h.score_ori, np.int32, _i32p),
+        _p(h.n_exon, np.int32, _i32p), _p(h.off_exon, np.int32, _i32p),
+        _p(h.cid, np.int32, _i32p),
+        _p(h.rev, np.uint8, _u8p), _p(h.flt, np.uint8, _u8p),
+        _p(h.weak_br, np.uint8, _u8p),
+        _p(h.cs, np.int64, _i64p), _p(h.ce, np.int64, _i64p),
+        eos, eoe,
+        _p(pg, np.int32, _i32p), _p(gp, np.uint8, _u8p),
+        1 if opt.check_strand else 0, float(opt.min_ov_ratio),
+        _p(h.shadow, np.uint8, _u8p),
+        _p(h.pid_dom, np.int32, _i32p), _p(h.score_dom, np.int32, _i32p),
+        1 if run_shadow else 0,
+        vp,
+        _p(h.cm, np.int64, _i64p),
+        _p(h.pid_dom0, np.int32, _i32p),
+        _p(g2sc, np.int32, _i32p),
         1 if use_ori else 0, n_seg, _p(seg_cnt, np.int32, _i32p),
         _p(out_x, np.uint64, _u64p), _p(out_n, np.int32, _i32p),
         _p(out_dist, np.int32, _i32p),
