@@ -56,7 +56,7 @@ def main() -> None:
     engine = os.environ.get("PANGENE_BENCH_ENGINE", "host")
     # best-of-N against shared-machine load noise (the reference baseline
     # was likewise measured unloaded); big corpus runs once
-    reps = 3 if SCALE == "small" and engine == "host" else 1
+    reps = 5 if SCALE == "small" and engine == "host" else 1
     import hashlib
     dt = float("inf")
     for _ in range(reps):

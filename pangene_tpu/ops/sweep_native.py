@@ -327,18 +327,23 @@ def walk_arcs(d: DataSet, gen: Genome, g2s: np.ndarray, use_ori: bool,
 def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
                  use_ori: bool, n_seg: int, view, run_shadow: bool):
     """Fused shadow(cal=0) + walk + dedupe for one genome, one C call.
-    Returns (x, n, dist, s1, s2, seg_cnt)."""
+    Returns (x, n, dist, s1, s2, seg_cnt) as slices of per-genome scratch
+    buffers reused across rounds — callers that retain results past the
+    next round for this genome must copy (ops/arcs.py's memo does not
+    need to: a memo hit implies this function was not re-entered)."""
     lib = _get_lib()
     h = gen.hits
     n = len(h)
     pg, gp = _globals(d)
     cap = max(2 * (n - 1), 1) if n > 1 else 1
-    out_x = np.empty(cap, np.uint64)
-    out_n = np.empty(cap, np.int32)
-    out_dist = np.empty(cap, np.int32)
-    out_s1 = np.empty(cap, np.int32)
-    out_s2 = np.empty(cap, np.int32)
-    seg_cnt = np.zeros(max(n_seg, 1), np.int32)
+    buf = getattr(gen, "_round_buf", None)
+    if buf is None or len(buf[0]) < cap or len(buf[5]) < max(n_seg, 1):
+        buf = (np.empty(cap, np.uint64), np.empty(cap, np.int32),
+               np.empty(cap, np.int32), np.empty(cap, np.int32),
+               np.empty(cap, np.int32), np.zeros(max(n_seg, 1), np.int32))
+        gen._round_buf = buf
+    out_x, out_n, out_dist, out_s1, out_s2, seg_cnt = buf
+    seg_cnt[:n_seg] = 0
     if n == 0:
         return (out_x[:0], out_n[:0], out_dist[:0], out_s1[:0], out_s2[:0],
                 seg_cnt[:n_seg])
