@@ -14,7 +14,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_dist_initialized = False
+
+
+def init_distributed() -> None:
+    """Multi-host bring-up: call jax.distributed.initialize when the
+    standard coordinator env vars are present (no-op on single host).
+    Idempotent; driven by JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID as set by the pod launcher."""
+    global _dist_initialized
+    if _dist_initialized:
+        return
+    _dist_initialized = True
+    import os
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+
+
 def make_mesh(n_devices: int = 0) -> Mesh:
+    init_distributed()
     devs = jax.devices()
     if n_devices <= 0:
         n_devices = len(devs)
