@@ -660,6 +660,75 @@ int64_t pg_merge_arcs(
     return m;
 }
 
+/* open-addressing u64->u8 table for marked-arc lookups; size is a power
+ * of two >= 2x entries so probes are short */
+static uint64_t mix64(uint64_t x)
+{
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdull;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ull;
+    x ^= x >> 33;
+    return x;
+}
+
+/* keys/vals are caller-allocated with n_slots = next_pow2(2*n) entries;
+ * keys must be pre-filled with the sentinel (all ones: never a valid arc
+ * because segment ids are small). Returns nothing. */
+void pg_weak_hash_build(
+    int64_t n, const uint64_t *arc_x, const uint8_t *arc_w,
+    int64_t n_slots, uint64_t *keys, uint8_t *vals)
+{
+    int64_t i;
+    uint64_t mask = (uint64_t)n_slots - 1;
+    for (i = 0; i < n; ++i) {
+        uint64_t j = mix64(arc_x[i]) & mask;
+        while (keys[j] != 0xFFFFFFFFFFFFFFFFull && keys[j] != arc_x[i])
+            j = (j + 1) & mask;
+        keys[j] = arc_x[i];
+        vals[j] = arc_w[i];
+    }
+}
+
+static uint8_t weak_hash_get(const uint64_t *keys, const uint8_t *vals,
+                             uint64_t mask, uint64_t key)
+{
+    uint64_t j = mix64(key) & mask;
+    while (keys[j] != 0xFFFFFFFFFFFFFFFFull) {
+        if (keys[j] == key) return vals[j];
+        j = (j + 1) & mask;
+    }
+    return 0;
+}
+
+/* hash-probing variant of the weak propagation: the marked-arc table is
+ * built once per round (pg_weak_hash_build) and shared by all genomes */
+void pg_propagate_weak_hash(
+    int64_t n, const int64_t *view,
+    const uint8_t *flt, const uint8_t *shadow,
+    const int32_t *pid, const uint8_t *rev, const int32_t *cid,
+    const int32_t *prot_gid, const int32_t *g2s,
+    int64_t n_slots, const uint64_t *tab_keys, const uint8_t *tab_vals,
+    uint8_t *weak_br)
+{
+    int64_t k, prev = -1;
+    uint64_t prev_w = 0, mask = (uint64_t)n_slots - 1;
+    for (k = 0; k < n; ++k) {
+        int64_t i = view ? view[k] : k;
+        uint64_t w;
+        if (flt[i] || shadow[i]) continue;
+        w = ((uint64_t)g2s[prot_gid[pid[i]]] << 1) | rev[i];
+        if (prev >= 0 && cid[prev] == cid[i]) {
+            uint8_t wk;
+            wk = weak_hash_get(tab_keys, tab_vals, mask,
+                               (prev_w << 32) | w);
+            if (wk > weak_br[prev]) weak_br[prev] = wk;
+            wk = weak_hash_get(tab_keys, tab_vals, mask,
+                               ((w ^ 1) << 32) | (prev_w ^ 1));
+            if (wk > weak_br[i]) weak_br[i] = wk;
+        }
+        prev = i; prev_w = w;
+    }
+}
+
 /* Arc weak_br -> incident-hit propagation for one genome
  * (pg_mark_branch_flt_hit, branch.c:108-145; ops/branch.py semantics).
  * The kept walk is built inline from flt/shadow through the cm-order view
@@ -699,6 +768,65 @@ void pg_propagate_weak(
         prev = i; prev_w = w;
     }
 }
+
+/* ---------------- GFA L-line formatting ---------------- */
+
+static char *fmt_i32(char *p, int64_t v)
+{
+    char tmp[24];
+    int k = 0;
+    if (v < 0) { *p++ = '-'; v = -v; }
+    do { tmp[k++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+/* Render all L lines (format.c:146-147 layout) into one malloc'd text
+ * buffer; caller frees with pg_free_text. Gene names arrive as a
+ * NUL-separated blob + offsets + lengths. Returns the byte length. */
+int64_t pg_format_arcs(
+    int64_t n_arc, const uint64_t *x, const int32_t *seg_gid,
+    const char *blob, const int64_t *offs, const int32_t *lens,
+    const int32_t *ng, const int32_t *tot, const int32_t *ad,
+    const int32_t *s1, const int32_t *s2,
+    char **out_ptr)
+{
+    size_t cap = (size_t)(n_arc ? n_arc : 1) * 96 + 1024, used = 0;
+    char *out = (char *)malloc(cap);
+    int64_t i;
+    for (i = 0; i < n_arc; ++i) {
+        uint64_t v = x[i] >> 32, w = x[i] & 0xFFFFFFFFu;
+        int32_t gv = seg_gid[v >> 1], gw = seg_gid[w >> 1];
+        size_t need = (size_t)lens[gv] + lens[gw] + 96;
+        char *p;
+        if (used + need > cap) {
+            while (used + need > cap) cap <<= 1;
+            out = (char *)realloc(out, cap);
+        }
+        p = out + used;
+        *p++ = 'L'; *p++ = '\t';
+        memcpy(p, blob + offs[gv], lens[gv]); p += lens[gv];
+        *p++ = '\t'; *p++ = (v & 1) ? '-' : '+'; *p++ = '\t';
+        memcpy(p, blob + offs[gw], lens[gw]); p += lens[gw];
+        *p++ = '\t'; *p++ = (w & 1) ? '-' : '+';
+        memcpy(p, "\t0M\tng:i:", 9); p += 9;
+        p = fmt_i32(p, ng[i]);
+        memcpy(p, "\tnc:i:", 6); p += 6;
+        p = fmt_i32(p, tot[i]);
+        memcpy(p, "\tad:i:", 6); p += 6;
+        p = fmt_i32(p, ad[i]);
+        memcpy(p, "\ts1:i:", 6); p += 6;
+        p = fmt_i32(p, s1[i]);
+        memcpy(p, "\ts2:i:", 6); p += 6;
+        p = fmt_i32(p, s2[i]);
+        *p++ = '\n';
+        used = p - out;
+    }
+    *out_ptr = out;
+    return (int64_t)used;
+}
+
+void pg_free_text(char *p) { free(p); }
 
 /* Same-gene overlapping-isoform filter; flt_iso_ov and flt updated in
  * place. Returns the count of hits with flt_iso_ov set (including ones set

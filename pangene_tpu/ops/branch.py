@@ -275,6 +275,7 @@ def mark_branch_flt_hit(opt: PgOpt, g: Graph) -> int:
     arc_xm = np.ascontiguousarray(arc_x[marked])
     arc_wm = np.ascontiguousarray(arc_w[marked])
     round_key = (arc_xm.tobytes(), arc_wm.tobytes())
+    tab = sweep_native.weak_hash_build(arc_xm, arc_wm) if native else None
     n_flt = 0
     for gen in d.genomes:
         h = gen.hits
@@ -291,7 +292,7 @@ def mark_branch_flt_hit(opt: PgOpt, g: Graph) -> int:
         if view is None:
             hit_sort(gen, by_cm=True)
         if native:
-            sweep_native.propagate_weak(d, gen, g.g2s, view, arc_xm, arc_wm)
+            sweep_native.propagate_weak_hash(d, gen, g.g2s, view, tab)
             keep = ()
         else:
             if view is None:

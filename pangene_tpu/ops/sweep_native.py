@@ -110,6 +110,29 @@ def _get_lib():
             _u64p, _i32p, _i32p, _i32p, _i32p,
             _u64p, _i32p, _i32p, _i32p, _i32p, _i32p,
         ]
+        lib.pg_weak_hash_build.restype = None
+        lib.pg_weak_hash_build.argtypes = [
+            ctypes.c_int64, _u64p, _u8p,
+            ctypes.c_int64, _u64p, _u8p,
+        ]
+        lib.pg_propagate_weak_hash.restype = None
+        lib.pg_propagate_weak_hash.argtypes = [
+            ctypes.c_int64, _i64p,
+            _u8p, _u8p,
+            _i32p, _u8p, _i32p,
+            _i32p, _i32p,
+            ctypes.c_int64, _u64p, _u8p,
+            _u8p,
+        ]
+        lib.pg_format_arcs.restype = ctypes.c_int64
+        lib.pg_format_arcs.argtypes = [
+            ctypes.c_int64, _u64p, _i32p,
+            ctypes.c_char_p, _i64p, _i32p,
+            _i32p, _i32p, _i32p, _i32p, _i32p,
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.pg_free_text.restype = None
+        lib.pg_free_text.argtypes = [ctypes.c_void_p]
         lib.pg_propagate_weak.restype = None
         lib.pg_propagate_weak.argtypes = [
             ctypes.c_int64, _i64p,
@@ -466,6 +489,81 @@ def merge_arcs_native(x, n, dist, s1, s2):
         _p(otot, np.int32, _i32p), _p(oavg, np.int32, _i32p),
         _p(os1, np.int32, _i32p), _p(os2, np.int32, _i32p)))
     return ox[:m], ong[:m], otot[:m], oavg[:m], os1[:m], os2[:m]
+
+
+def weak_hash_build(arc_xm: np.ndarray, arc_wm: np.ndarray):
+    """Open-addressing table of the marked arcs, shared across genomes
+    within one propagation round. Returns (keys, vals)."""
+    lib = _get_lib()
+    n = len(arc_xm)
+    n_slots = 1
+    while n_slots < 2 * max(n, 1):
+        n_slots <<= 1
+    keys = np.full(n_slots, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    vals = np.zeros(n_slots, np.uint8)
+    if n:
+        lib.pg_weak_hash_build(n, _p(arc_xm, np.uint64, _u64p),
+                               _p(arc_wm, np.uint8, _u8p),
+                               n_slots, _p(keys, np.uint64, _u64p),
+                               _p(vals, np.uint8, _u8p))
+    return keys, vals
+
+
+def propagate_weak_hash(d: DataSet, gen: Genome, g2s: np.ndarray,
+                        view, tab) -> None:
+    """Hash-probing weak propagation for one genome."""
+    lib = _get_lib()
+    h = gen.hits
+    n = len(h)
+    keys, vals = tab
+    if n == 0:
+        return
+    pg, _ = _globals(d)
+    g2sc = g2s if (g2s.dtype == np.int32 and g2s.flags.c_contiguous) \
+        else _c(g2s, np.int32)
+    vp = _p(view, np.int64, _i64p) if view is not None else None
+    lib.pg_propagate_weak_hash(
+        n, vp,
+        _p(h.flt, np.uint8, _u8p), _p(h.shadow, np.uint8, _u8p),
+        _p(h.pid, np.int32, _i32p), _p(h.rev, np.uint8, _u8p),
+        _p(h.cid, np.int32, _i32p),
+        _p(pg, np.int32, _i32p), _p(g2sc, np.int32, _i32p),
+        len(keys), _p(keys, np.uint64, _u64p), _p(vals, np.uint8, _u8p),
+        _p(h.weak_br, np.uint8, _u8p))
+
+
+def format_arcs(d: DataSet, seg_gid: np.ndarray, arcs) -> str:
+    """Native L-line rendering. Returns the full text block."""
+    lib = _get_lib()
+    n_arc = len(arcs.x)
+    if n_arc == 0:
+        return ""
+    nb = getattr(d, "_gene_name_blob", None)
+    if nb is None or nb[3] != d.n_gene:
+        names = [s.encode() for s in d.gene_name]
+        blob = b"\0".join(names) + b"\0"
+        lens = np.array([len(s) for s in names], np.int32)
+        offs = np.concatenate(
+            ([0], np.cumsum(lens[:-1].astype(np.int64) + 1))) \
+            if len(names) else np.zeros(0, np.int64)
+        nb = d._gene_name_blob = (blob, offs, lens, d.n_gene)
+    blob, offs, lens, _n = nb
+    sg = seg_gid if (seg_gid.dtype == np.int32
+                     and seg_gid.flags.c_contiguous) \
+        else _c(seg_gid, np.int32)
+    outp = ctypes.c_void_p()
+    ln = int(lib.pg_format_arcs(
+        n_arc, _p(arcs.x, np.uint64, _u64p), _p(sg, np.int32, _i32p),
+        blob, _p(offs, np.int64, _i64p), _p(lens, np.int32, _i32p),
+        _p(arcs.n_genome, np.int32, _i32p),
+        _p(arcs.tot_cnt, np.int32, _i32p),
+        _p(arcs.avg_dist, np.int32, _i32p),
+        _p(arcs.s1, np.int32, _i32p), _p(arcs.s2, np.int32, _i32p),
+        ctypes.byref(outp)))
+    try:
+        return ctypes.string_at(outp, ln).decode()
+    finally:
+        lib.pg_free_text(outp)
 
 
 def propagate_weak(d: DataSet, gen: Genome, g2s: np.ndarray,
