@@ -452,7 +452,11 @@ def merge_arcs_kway(per_genome):
     dist = np.concatenate([p[2] for p in per_genome])
     s1 = np.concatenate([p[3] for p in per_genome])
     s2 = np.concatenate([p[4] for p in per_genome])
-    m = int(lib.pg_merge_arcs_tree(
+    # tree merge (sequential scans, early aggregation) wins while the
+    # working set is cache-resident; the k-way heap's smaller footprint
+    # wins at millions of rows (measured crossover ~0.5M)
+    fn = lib.pg_merge_arcs_tree if n_in < 500_000 else lib.pg_merge_arcs_kway
+    m = int(fn(
         len(per_genome), _p(offs, np.int64, _i64p),
         _p(x, np.uint64, _u64p), _p(n, np.int32, _i32p),
         _p(dist, np.int32, _i32p),
