@@ -77,6 +77,14 @@ def gen_vtx(opt: PgOpt, q: Graph) -> None:
     included = np.asarray(d.gene_included, bool)
     vtx_thresh = G * opt.min_vertex_ratio
     write_sel = bool(opt.flag & PG_F_WRITE_VTX_SEL)
+    from ..ops import sweep_native
+    if not write_sel and sweep_native.available():
+        sg, sd, ss = sweep_native.gen_vtx_greedy(
+            ng, G, order, x, y, aux, included.view(np.uint8), vtx_thresh)
+        sel_gid = sg.tolist()
+        sel_dom = sd.tolist()
+        sel_sub = ss.tolist()
+        return _finish(q, d, sel_gid, sel_dom, sel_sub)
     for i in range(ng - 1, -1, -1):
         xi = int(x[order[i]])
         yi = int(y[order[i]])
@@ -99,6 +107,10 @@ def gen_vtx(opt: PgOpt, q: Graph) -> None:
                 shadowed = np.flatnonzero((col >> 1) < ng)
                 aux[(col[shadowed] >> 1).astype(np.int64), shadowed] |= 1
 
+    return _finish(q, d, sel_gid, sel_dom, sel_sub)
+
+
+def _finish(q: Graph, d: DataSet, sel_gid, sel_dom, sel_sub) -> None:
     # final segment order: ascending gid (vertex.c:85-94)
     seg = np.array(sel_gid, np.int64)
     perm = np.argsort(seg, kind="stable")

@@ -863,6 +863,47 @@ void pg_propagate_weak(
     }
 }
 
+/* Greedy vertex selection scan (pg_gen_vtx, vertex.c:60-80; semantics of
+ * graph/vertex.py): genes in descending packed-score order; a gene is
+ * selected when included or (n_dom >= thresh and not fully explained by
+ * already-consumed dominators); selecting it consumes its dominator in
+ * every genome where it is shadowed-only. aux is gene-major [ng, G]:
+ * (ng+1)<<1 = unseen, ng<<1 = dominant, dom_gid<<1 = shadowed with
+ * dominator, low bit = consumed. Returns the selection count. */
+int64_t pg_gen_vtx_greedy(
+    int32_t ng, int32_t G,
+    const int64_t *order, const uint64_t *x, const uint64_t *y,
+    uint32_t *aux, const uint8_t *included, double vtx_thresh,
+    int32_t *sel, int32_t *sel_dom, int32_t *sel_sub)
+{
+    int64_t i, m = 0;
+    uint32_t dom_tag = (uint32_t)ng << 1;
+    for (i = ng - 1; i >= 0; --i) {
+        uint64_t xi = x[order[i]], yi = y[order[i]];
+        int32_t n_dom = (int32_t)((xi >> 32) & 0x7FFFFFFFu);
+        int32_t n_sub = (int32_t)(yi >> 32);
+        int32_t gid = (int32_t)(yi & 0xFFFFFFFFu);
+        uint32_t *col = aux + (size_t)gid * G;
+        int32_t g, xx = 0, yy = 0;
+        for (g = 0; g < G; ++g)
+            if ((col[g] >> 1) == (uint32_t)ng) {
+                ++xx;
+                yy += col[g] & 1;
+            }
+        if (included[gid] || ((double)n_dom >= vtx_thresh && yy < xx)) {
+            sel[m] = gid;
+            sel_dom[m] = n_dom;
+            sel_sub[m] = n_sub;
+            ++m;
+            if (xx > 0)
+                for (g = 0; g < G; ++g)
+                    if (col[g] < dom_tag)  /* shadowed: dom_gid<<1 < ng<<1 */
+                        aux[(size_t)(col[g] >> 1) * G + g] |= 1;
+        }
+    }
+    return m;
+}
+
 /* ---------------- GFA L-line formatting ---------------- */
 
 static char *fmt_i32(char *p, int64_t v)

@@ -112,6 +112,13 @@ def _get_lib():
         ]
         lib.pg_merge_arcs_tree.restype = ctypes.c_int64
         lib.pg_merge_arcs_tree.argtypes = lib.pg_merge_arcs_kway.argtypes
+        lib.pg_gen_vtx_greedy.restype = ctypes.c_int64
+        lib.pg_gen_vtx_greedy.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            _i64p, _u64p, _u64p,
+            ctypes.c_void_p, _u8p, ctypes.c_double,
+            _i32p, _i32p, _i32p,
+        ]
         lib.pg_weak_hash_build.restype = None
         lib.pg_weak_hash_build.argtypes = [
             ctypes.c_int64, _u64p, _u8p,
@@ -495,6 +502,30 @@ def merge_arcs_native(x, n, dist, s1, s2):
         _p(otot, np.int32, _i32p), _p(oavg, np.int32, _i32p),
         _p(os1, np.int32, _i32p), _p(os2, np.int32, _i32p)))
     return ox[:m], ong[:m], otot[:m], oavg[:m], os1[:m], os2[:m]
+
+
+def gen_vtx_greedy(ng: int, G: int, order: np.ndarray, x: np.ndarray,
+                   y: np.ndarray, aux: np.ndarray, included: np.ndarray,
+                   vtx_thresh: float):
+    """Native greedy vertex selection. aux [ng, G] uint32 is mutated in
+    place; returns (sel_gid, sel_dom, sel_sub) in selection order."""
+    lib = _get_lib()
+    sel = np.empty(max(ng, 1), np.int32)
+    sdom = np.empty(max(ng, 1), np.int32)
+    ssub = np.empty(max(ng, 1), np.int32)
+    if ng == 0:
+        return sel[:0], sdom[:0], ssub[:0]
+    orderc = _c(order, np.int64)
+    incc = _c(included, np.uint8)
+    m = int(lib.pg_gen_vtx_greedy(
+        ng, G,
+        _p(orderc, np.int64, _i64p),
+        _p(x, np.uint64, _u64p), _p(y, np.uint64, _u64p),
+        _p(aux, np.uint32, None), _p(incc, np.uint8, _u8p),
+        float(vtx_thresh),
+        _p(sel, np.int32, _i32p), _p(sdom, np.int32, _i32p),
+        _p(ssub, np.int32, _i32p)))
+    return sel[:m], sdom[:m], ssub[:m]
 
 
 def weak_hash_build(arc_xm: np.ndarray, arc_wm: np.ndarray):
