@@ -187,3 +187,45 @@ def test_gen_arc_native_vs_numpy(seed):
     np.testing.assert_array_equal(qa.arcs.s2, qb.arcs.s2)
     np.testing.assert_array_equal(qa.seg_n_genome, qb.seg_n_genome)
     np.testing.assert_array_equal(qa.seg_tot_cnt, qb.seg_tot_cnt)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_merge_tree_vs_kway(seed):
+    """The two global-merge strategies (pairwise tree with early
+    aggregation / k-way heap) must agree exactly; dispatch picks by
+    input size."""
+    rng = np.random.default_rng(500 + seed)
+    n_src = rng.integers(1, 9)
+    per = []
+    for s in range(n_src):
+        k = int(rng.integers(0, 400))
+        x = np.unique(rng.integers(0, 500, k).astype(np.uint64))
+        n = rng.integers(1, 5, len(x)).astype(np.int32)
+        dist = rng.integers(0, 10000, len(x)).astype(np.int32)
+        s1 = rng.integers(0, 100, len(x)).astype(np.int32)
+        s2 = rng.integers(0, 100, len(x)).astype(np.int32)
+        per.append((x, n, dist, s1, s2))
+    lib = sweep_native._get_lib()
+    import numpy as _np
+    offs = _np.zeros(len(per) + 1, _np.int64)
+    for i, p in enumerate(per):
+        offs[i + 1] = offs[i] + len(p[0])
+    n_in = int(offs[-1])
+    cat = [_np.concatenate([p[i] for p in per]) if n_in else
+           _np.zeros(0, per[0][i].dtype if per else _np.uint64)
+           for i in range(5)]
+    outs = []
+    for fn in (lib.pg_merge_arcs_tree, lib.pg_merge_arcs_kway):
+        cap = max(n_in, 1)
+        bufs = [_np.empty(cap, _np.uint64)] + \
+               [_np.empty(cap, _np.int32) for _ in range(5)]
+        m = fn(len(per), sweep_native._p(offs, _np.int64),
+               sweep_native._p(cat[0], _np.uint64),
+               sweep_native._p(cat[1], _np.int32),
+               sweep_native._p(cat[2], _np.int32),
+               sweep_native._p(cat[3], _np.int32),
+               sweep_native._p(cat[4], _np.int32),
+               *[sweep_native._p(b, b.dtype) for b in bufs])
+        outs.append([b[:m].copy() for b in bufs])
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
