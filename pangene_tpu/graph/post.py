@@ -15,10 +15,17 @@ from .. import util
 
 def post_process(opt: PgOpt, d: DataSet) -> None:
     log_msg("pg_post_process", "%d genes and %d proteins", d.n_gene, d.n_prot)
-    pseudo_ops.cap_score_dom(d)
-    pseudo_ops.flag_representative(d)
+    mx = z = acc = None
+    if opt.engine == "sharded" and d.n_genome:
+        # the cross-genome protein-keyed reductions run as psums over the
+        # genome mesh (SURVEY §2.4(2)); exact integer sums keep them
+        # bit-equal to the host loops
+        from ..parallel.stacked import post_reductions_sharded
+        mx, z, acc = post_reductions_sharded(opt, d)
+    pseudo_ops.cap_score_dom(d, mx)
+    pseudo_ops.flag_representative(d, z)
     if not (opt.flag & PG_F_NO_JOINT_PSEUDO):
-        n = pseudo_ops.flag_pseudo_joint(opt, d)
+        n = pseudo_ops.flag_pseudo_joint(opt, d, acc)
         log_msg("pg_post_process", "%d pseudogene hits identified jointly", n)
     for j, g in enumerate(d.genomes):
         tot = int((g.hits.flt == 0).sum())

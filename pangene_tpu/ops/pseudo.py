@@ -99,22 +99,27 @@ def flt_chain_shadow(d: DataSet, g: Genome) -> int:
     return int(mask.sum())
 
 
-def flag_pseudo_joint(opt: PgOpt, d: DataSet) -> int:
+def flag_pseudo_joint(opt: PgOpt, d: DataSet, acc=None) -> int:
     """Cross-genome pseudogene flagging (pg_flag_pseudo_joint, hit.c:148-187).
 
     Per protein accumulates (count, score sum) split by single/multi-exon over
-    rank-0 unfiltered hits of all genomes — a psum-able reduction — then
-    flags single-exon hits of proteins that are dominantly multi-exon.
+    rank-0 unfiltered hits of all genomes — a psum-able reduction (the
+    sharded engine passes it precomputed via `acc` = (c, s) from
+    parallel/stacked.reduction_step) — then flags single-exon hits of
+    proteins that are dominantly multi-exon.
     """
     n_prot = d.n_prot
-    c = np.zeros((n_prot, 2), np.int64)
-    s = np.zeros((n_prot, 2), np.int64)
-    for g in d.genomes:
-        h = g.hits
-        m = (h.flt == 0) & (h.rank == 0)
-        w = (h.n_exon[m] != 1).astype(np.int64)
-        np.add.at(c, (h.pid[m], w), 1)
-        np.add.at(s, (h.pid[m], w), h.score_ori[m].astype(np.int64))
+    if acc is not None:
+        c, s = acc
+    else:
+        c = np.zeros((n_prot, 2), np.int64)
+        s = np.zeros((n_prot, 2), np.int64)
+        for g in d.genomes:
+            h = g.hits
+            m = (h.flt == 0) & (h.rank == 0)
+            w = (h.n_exon[m] != 1).astype(np.int64)
+            np.add.at(c, (h.pid[m], w), 1)
+            np.add.at(s, (h.pid[m], w), h.score_ori[m].astype(np.int64))
     thresh = d.n_genome * opt.min_vertex_ratio
     drop_sgl = bool(opt.flag & PG_F_DROP_SGL_EXON)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -136,17 +141,22 @@ def flag_pseudo_joint(opt: PgOpt, d: DataSet) -> int:
     return n_pseudo
 
 
-def flag_representative(d: DataSet) -> None:
+def flag_representative(d: DataSet, z=None) -> None:
     """Pick each gene's representative isoform by average rank-0 adjusted
-    score across genomes (reference pg_flag_representative, hit.c:189-225)."""
+    score across genomes (reference pg_flag_representative, hit.c:189-225).
+    `z` may arrive precomputed from the sharded psum reduction: modular
+    u64 arithmetic makes (sum << 32) + cnt identical to the incremental
+    per-hit accumulation."""
     n_prot = d.n_prot
-    z = np.zeros(n_prot, np.uint64)  # sum(score_adj)<<32 | count, wraps as C
+    if z is None:
+        z = np.zeros(n_prot, np.uint64)  # sum(score_adj)<<32|count, C wrap
+        for g in d.genomes:
+            h = g.hits
+            m = (h.rank == 0) & (h.flt == 0)
+            add = h.score_adj[m].astype(np.int64).astype(np.uint64)
+            np.add.at(z, h.pid[m], (add << U64(32)) + U64(1))
     for g in d.genomes:
-        h = g.hits
-        m = (h.rank == 0) & (h.flt == 0)
-        add = h.score_adj[m].astype(np.int64).astype(np.uint64)
-        np.add.at(z, h.pid[m], (add << U64(32)) + U64(1))
-        h.rep[:] = 0
+        g.hits.rep[:] = 0
     cnt = (z & U64(MASK32)).astype(np.int64)
     ssum = (z >> U64(32)).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -170,12 +180,13 @@ def flag_representative(d: DataSet) -> None:
         h.rep[:] = prot_rep[h.pid]
 
 
-def cap_score_dom(d: DataSet) -> None:
+def cap_score_dom(d: DataSet, mx=None) -> None:
     """Cap score_dom at the protein's max score_ori across genomes
     (reference pg_cap_score_dom, hit.c:227-247)."""
-    mx = np.zeros(d.n_prot, np.int32)
-    for g in d.genomes:
-        np.maximum.at(mx, g.hits.pid, g.hits.score_ori)
+    if mx is None:
+        mx = np.zeros(d.n_prot, np.int32)
+        for g in d.genomes:
+            np.maximum.at(mx, g.hits.pid, g.hits.score_ori)
     d.prot_max_score_ori = mx.tolist()
     for g in d.genomes:
         h = g.hits

@@ -387,6 +387,47 @@ def gen_arc_sharded(opt: PgOpt, q) -> None:
 # cross-genome reductions (post-process): psum'd id-indexed accumulators
 # ---------------------------------------------------------------------------
 
+def post_reductions_sharded(opt: PgOpt, d: DataSet):
+    """Protein-keyed cross-genome reductions on the genome mesh, feeding
+    pg_cap_score_dom / pg_flag_representative / pg_flag_pseudo_joint.
+    Returns (mx, z, (c, s)) in the exact formats the host functions use;
+    integer psums make the results bit-equal to the host loops."""
+    mesh = make_mesh(opt.n_devices)
+    G = d.n_genome
+    H = dev.next_pow2(max((g.n_hit for g in d.genomes), default=1))
+    Gp = ((G + mesh.devices.size - 1) // mesh.devices.size) \
+        * mesh.devices.size
+    n_prot = max(d.n_prot, 1)
+    cols = {k: np.zeros((Gp, H), np.int32)
+            for k in ("pid", "score_ori", "score_adj", "n_exon", "rank")}
+    cols["flt"] = np.ones((Gp, H), np.uint8)
+    cols["valid"] = np.zeros((Gp, H), bool)
+    for j, g in enumerate(d.genomes):
+        h = g.hits
+        n = len(h)
+        for k in ("pid", "score_ori", "score_adj", "n_exon", "rank"):
+            cols[k][j, :n] = h.cols[k]
+        cols["flt"][j, :n] = h.flt
+        cols["valid"][j, :n] = True
+    outs = reduction_step(
+        jnp.asarray(cols["pid"]), jnp.asarray(cols["score_ori"]),
+        jnp.asarray(cols["score_adj"]), jnp.asarray(cols["n_exon"]),
+        jnp.asarray(cols["rank"]), jnp.asarray(cols["flt"]),
+        jnp.asarray(cols["valid"]), n_prot=n_prot, mesh=mesh)
+    packed = jnp.concatenate([o.astype(jnp.int64).ravel() for o in outs])
+    arr = np.asarray(packed)           # one pull
+    P_ = n_prot
+    max_so = arr[:P_].astype(np.int32)
+    cnt0, cnt1, sum0, sum1, rep_sum, rep_cnt = (
+        arr[P_ * (1 + i):P_ * (2 + i)] for i in range(6))
+    mx = max_so[:d.n_prot]
+    z = ((rep_sum.astype(np.uint64) << np.uint64(32))
+         + rep_cnt.astype(np.uint64))[:d.n_prot]
+    c = np.stack([cnt0, cnt1], axis=1)[:d.n_prot]
+    s = np.stack([sum0, sum1], axis=1)[:d.n_prot]
+    return mx, z, (c, s)
+
+
 @functools.partial(jax.jit, static_argnames=("n_prot", "mesh"))
 def reduction_step(pid, score_ori, score_adj, n_exon, rank, flt, valid, *,
                    n_prot, mesh):
