@@ -8,8 +8,12 @@ shadowed in some genomes records its dominator there, and selecting it
 not selected later (the y < x test).
 
 The per-genome dom/sub flags and dominator gids are data-parallel over
-genomes (device-side under sharding); the greedy scan itself is O(n_gene *
-n_genome) bookkeeping on small replicated state and stays host-side.
+genomes; they stay host-side even under sharding because the greedy scan
+consumes the FULL [n_gene, n_genome] dominator table with sequential
+cross-genome mutation — it must be replicated on the host either way, so
+a device pass would only add a round trip. The scan itself runs in C
+(native/pgsweep.c pg_gen_vtx_greedy) unless -G per-gene rows are being
+printed.
 """
 from __future__ import annotations
 
