@@ -85,6 +85,9 @@ class HitTable:
     def permute(self, perm: np.ndarray) -> None:
         for k in self.cols:
             self.cols[k] = self.cols[k][perm]
+        # physical-order version: native caches of packed per-hit state
+        # (ops/sweep_native round_genome hot buffers) key on this
+        self._ver = getattr(self, "_ver", 0) + 1
 
     def copy(self) -> "HitTable":
         return HitTable({k: v.copy() for k, v in self.cols.items()})

@@ -103,6 +103,73 @@ static hot_t *pack_hot(
     return h;
 }
 
+int64_t pg_hot_size(void) { return (int64_t)sizeof(hot_t); }
+
+/* refresh only the mutable fields of a previously packed hot table */
+void pg_hot_refresh(int64_t n, const uint8_t *flt, const uint8_t *weak_br,
+                    hot_t *ht)
+{
+    int64_t i;
+    for (i = 0; i < n; ++i) {
+        ht[i].flt = flt[i];
+        ht[i].weak = weak_br[i];
+    }
+}
+
+/* full pack into a caller-provided buffer (for the cached-hot path) */
+void pg_hot_pack(
+    int64_t n,
+    const int32_t *pid, const int32_t *rank, const int32_t *score_adj,
+    const int32_t *n_exon, const int32_t *off_exon,
+    const int32_t *cid, const uint8_t *rev, const uint8_t *flt,
+    const uint8_t *weak_br,
+    const int64_t *cs, const int64_t *ce,
+    const int32_t *eos, const int32_t *eoe,
+    const int32_t *prot_gid, const uint8_t *gene_pref,
+    hot_t *ht)
+{
+    int64_t i;
+    for (i = 0; i < n; ++i) {
+        int32_t k, e = 0, g = prot_gid[pid[i]];
+        for (k = 0; k < n_exon[i]; ++k)
+            e += eoe[off_exon[i] + k] - eos[off_exon[i] + k];
+        ht[i].cs = cs[i];
+        ht[i].ce = ce[i];
+        ht[i].pscore = packed_score(score_adj[i], gene_pref[g], pid[i]);
+        ht[i].len = e;
+        ht[i].cid = cid[i];
+        ht[i].gid = g;
+        ht[i].rank = rank[i];
+        ht[i].off_exon = off_exon[i];
+        ht[i].n_exon = n_exon[i];
+        ht[i].rev = rev[i];
+        ht[i].flt = flt[i];
+        ht[i].weak = weak_br ? weak_br[i] : 0;
+    }
+}
+
+/* core shadow sweep over a pre-packed hot table */
+static int64_t sweep_shadow_core(
+    int64_t n, const hot_t *ht,
+    const int32_t *pid, const int32_t *score_ori,
+    const int32_t *eos, const int32_t *eoe,
+    const uint8_t *flt,
+    int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
+    uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom);
+
+int64_t pg_sweep_shadow_hot(
+    int64_t n, const hot_t *ht,
+    const int32_t *pid, const int32_t *score_ori,
+    const int32_t *eos, const int32_t *eoe,
+    const uint8_t *flt,
+    int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
+    uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom)
+{
+    return sweep_shadow_core(n, ht, pid, score_ori, eos, eoe, flt,
+                             check_strand, min_ov_ratio, cal_dom_sc,
+                             shadow, pid_dom, score_dom);
+}
+
 int64_t pg_sweep_shadow(
     int64_t n,
     const int32_t *pid, const int32_t *rank,
@@ -116,17 +183,34 @@ int64_t pg_sweep_shadow(
     int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
     uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom)
 {
+    hot_t *ht;
+    int64_t r;
+    if (n == 0) return 0;
+    ht = pack_hot(n, pid, rank, score_adj, n_exon, off_exon, cid, rev,
+                  flt, weak_br, cs, ce, eos, eoe, prot_gid, gene_pref);
+    r = sweep_shadow_core(n, ht, pid, score_ori, eos, eoe, flt,
+                          check_strand, min_ov_ratio, cal_dom_sc,
+                          shadow, pid_dom, score_dom);
+    free(ht);
+    return r;
+}
+
+static int64_t sweep_shadow_core(
+    int64_t n, const hot_t *ht,
+    const int32_t *pid, const int32_t *score_ori,
+    const int32_t *eos, const int32_t *eoe,
+    const uint8_t *flt,
+    int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
+    uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom)
+{
     int64_t i, i0 = 0, n_shadow = 0;
     int64_t *tmp_ov;
     uint64_t *tmp_score;
     int32_t *tmp_aid;
-    hot_t *ht;
     if (n == 0) return 0;
     tmp_ov = (int64_t *)calloc(n, 8);
     tmp_score = (uint64_t *)calloc(n, 8);
     tmp_aid = (int32_t *)calloc(n, 4);
-    ht = pack_hot(n, pid, rank, score_adj, n_exon, off_exon, cid, rev,
-                  flt, weak_br, cs, ce, eos, eoe, prot_gid, gene_pref);
     for (i = 1; i < n; ++i) {
         int64_t j;
         const hot_t hi_r = ht[i];
@@ -186,7 +270,7 @@ int64_t pg_sweep_shadow(
         }
         if (shadow[i]) ++n_shadow;
     }
-    free(tmp_ov); free(tmp_score); free(tmp_aid); free(ht);
+    free(tmp_ov); free(tmp_score); free(tmp_aid);
     return n_shadow;
 }
 
@@ -389,13 +473,30 @@ int64_t pg_round_genome(
     const int32_t *g2s,
     int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
     uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
-    int32_t *out_s1, int32_t *out_s2)
+    int32_t *out_s1, int32_t *out_s2,
+    hot_t *hot_buf, int32_t hot_valid)
 {
-    if (run_shadow)
-        pg_sweep_shadow(n, pid, rank, score_adj, score_ori, n_exon,
-                        off_exon, cid, rev, flt, weak_br, cs, ce, eos, eoe,
-                        prot_gid, gene_pref, check_strand, min_ov_ratio,
-                        0, shadow, pid_dom, score_dom);
+    if (run_shadow) {
+        if (hot_buf) {
+            /* constants (coords, scores, gid, packed keys, CDS lens) are
+             * frozen after ingest: pack once per genome, refresh only the
+             * two mutable flag fields on later rounds */
+            if (!hot_valid)
+                pg_hot_pack(n, pid, rank, score_adj, n_exon, off_exon,
+                            cid, rev, flt, weak_br, cs, ce, eos, eoe,
+                            prot_gid, gene_pref, hot_buf);
+            else
+                pg_hot_refresh(n, flt, weak_br, hot_buf);
+            sweep_shadow_core(n, hot_buf, pid, score_ori, eos, eoe, flt,
+                              check_strand, min_ov_ratio, 0,
+                              shadow, pid_dom, score_dom);
+        } else {
+            pg_sweep_shadow(n, pid, rank, score_adj, score_ori, n_exon,
+                            off_exon, cid, rev, flt, weak_br, cs, ce,
+                            eos, eoe, prot_gid, gene_pref, check_strand,
+                            min_ov_ratio, 0, shadow, pid_dom, score_dom);
+        }
+    }
     return pg_walk_arcs(n, view, flt, shadow, pid, rev, cid, cm,
                         score_ori, score_dom, pid_dom0, prot_gid, g2s,
                         use_ori, n_seg, seg_cnt,

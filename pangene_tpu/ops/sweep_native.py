@@ -97,7 +97,12 @@ def _get_lib():
             _i32p,
             ctypes.c_int32, ctypes.c_int32, _i32p,
             ctypes.c_void_p, _i32p, _i32p, _i32p, _i32p,
+            ctypes.c_void_p, ctypes.c_int32,
         ]
+        lib.pg_hot_size.restype = ctypes.c_int64
+        lib.pg_hot_size.argtypes = []
+        assert int(lib.pg_hot_size()) == _HOT_SIZE, \
+            "hot_t layout drift: update _HOT_SIZE"
         lib.pg_rep_pos.restype = ctypes.c_int64
         lib.pg_rep_pos.argtypes = [
             ctypes.c_int64, _u8p, _u8p, _i32p, _i32p, _i64p,
@@ -199,6 +204,8 @@ def _c(a, dt):
 
 
 _EMPTY_I32 = np.zeros(1, np.int32)
+_HOT_SIZE = 64  # sizeof(hot_t); validated against pg_hot_size() on load
+_NO_HOTCACHE = bool(os.environ.get("PANGENE_NO_HOTCACHE"))
 
 
 def _exon_ptrs(g: Genome):
@@ -383,6 +390,21 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
     g2sc = g2s if (g2s.dtype == np.int32 and g2s.flags.c_contiguous) \
         else _c(g2s, np.int32)
     vp = _p(view, np.int64, _i64p) if view is not None else None
+    # per-genome packed hot table: constants survive across rounds, only
+    # flt/weak refresh; invalidated when the table is physically permuted.
+    # Managed ONLY when the sweep actually runs — C packs it then; a
+    # buffer must never be tagged valid without having been packed.
+    hot_ptr = None
+    hot_valid = 0
+    if run_shadow and not _NO_HOTCACHE:
+        ver = getattr(h, "_ver", 0)
+        hot = getattr(gen, "_hot_buf", None)
+        hot_valid = 1
+        if hot is None or hot[1] != ver or len(hot[0]) < n * _HOT_SIZE:
+            hot = (np.empty(max(n, 1) * _HOT_SIZE, np.uint8), ver)
+            gen._hot_buf = hot
+            hot_valid = 0
+        hot_ptr = _p(hot[0], np.uint8, None)
     m = int(lib.pg_round_genome(
         n,
         _p(h.pid, np.int32, _i32p), _p(h.rank, np.int32, _i32p),
@@ -405,7 +427,8 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
         1 if use_ori else 0, n_seg, _p(seg_cnt, np.int32, _i32p),
         _p(out_x, np.uint64, _u64p), _p(out_n, np.int32, _i32p),
         _p(out_dist, np.int32, _i32p),
-        _p(out_s1, np.int32, _i32p), _p(out_s2, np.int32, _i32p)))
+        _p(out_s1, np.int32, _i32p), _p(out_s2, np.int32, _i32p),
+        hot_ptr, 1 if hot_valid else 0))
     assert m >= 0, "kept hit maps to deleted segment"
     return (out_x[:m], out_n[:m], out_dist[:m], out_s1[:m], out_s2[:m],
             seg_cnt[:n_seg])
