@@ -1,11 +1,17 @@
-"""ctypes wrapper for the native host sweeps (native/pgsweep.c).
+"""ctypes bindings for the native host runtime (native/pgsweep.c).
 
-Drop-in replacements for ops/sweep_vec.shadow / flt_ov_isoform: same
-in-place column updates, same return counts, IEEE-double predicates. The
-loader compiles pgsweep.c on first use; ``available()`` gates dispatch so
-environments without a compiler silently fall back to the NumPy path.
-Differential tests: tests/test_sweep_vec.py fuzzes native vs the scalar
-oracle on the same corpora as the vectorized engine.
+Covers the full per-genome hot path: shadow/isoform sweeps (with a cached
+per-genome hot table), the fused round stage (shadow + walk + dedupe),
+branch marking and locality tests, hash-table weak propagation, the
+adaptive global arc merge (pairwise tree / k-way heap), representative
+positions, greedy vertex selection, and the GFA L-line renderer. Same
+in-place column updates and return counts as the NumPy paths,
+IEEE-double predicates throughout. The loader compiles pgsweep.c on
+first use; ``available()`` gates dispatch so environments without a
+compiler fall back to NumPy. Differential tests:
+tests/test_sweep_native.py fuzzes every entry against the scalar oracle
+and the NumPy implementations; tests/test_engine_equiv.py pins the whole
+pipeline byte-identical across all three host engines.
 """
 from __future__ import annotations
 
