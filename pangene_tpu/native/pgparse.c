@@ -218,11 +218,19 @@ static int parse_cigar_exons(parse_out_t *o, const char *cg, int rev,
 {
     /* exon boundaries relative to cs (read.c:47-90 semantics):
      * N/U/V introns split exons with U/V 1-2bp offsets; M/X/=/D advance
-     * 3*l; F/G advance l and count as frameshift. */
-    int32_t tmp_os[4096], tmp_oe[4096];
+     * 3*l; F/G advance l and count as frameshift. The exon scratch grows
+     * dynamically like the reference's arrays (no fixed cap). */
+    enum { TMP0 = 4096 };
+    static int32_t *tmp_os = 0, *tmp_oe = 0;
+    static int32_t tmp_cap = 0;
     int32_t n = 1, n_fs = 0;
     int64_t x = 0;
     const char *p = cg;
+    if (!tmp_os) {
+        tmp_cap = TMP0;
+        tmp_os = (int32_t *)malloc(tmp_cap * 4);
+        tmp_oe = (int32_t *)malloc(tmp_cap * 4);
+    }
     tmp_os[0] = 0; tmp_oe[0] = 0;
     while (*p && *p != '\t') {
         char *r;
@@ -233,7 +241,11 @@ static int parse_cigar_exons(parse_out_t *o, const char *cg, int rev,
             if (op == 'N') st = x, en = x + l;
             else if (op == 'U') st = x + 1, en = x + l - 2;
             else st = x + 2, en = x + l - 1;
-            if (n >= 4096) { return -2; }
+            if (n >= tmp_cap) {
+                tmp_cap <<= 1;
+                tmp_os = (int32_t *)realloc(tmp_os, (size_t)tmp_cap * 4);
+                tmp_oe = (int32_t *)realloc(tmp_oe, (size_t)tmp_cap * 4);
+            }
             tmp_oe[n - 1] = (int32_t)st;
             tmp_os[n] = (int32_t)en;
             tmp_oe[n] = (int32_t)en;
