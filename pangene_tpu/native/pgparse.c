@@ -300,14 +300,14 @@ static int process_line(parse_out_t *o, char *line, int len, char delim,
                         double min_ratio, double min_iden, double coef)
 {
     /* field-by-field state machine mirroring read.c:128-235 */
-    char *fields[64];
+    char *fields[1024];   /* miniprot emits ~8 tags; generous headroom */
     int n_fields = 0, i;
     char *p = line, *start = line;
     (void)delim;
     ++o->n_records;
     for (p = line; ; ++p) {
         if (*p == '\t' || p == line + len) {
-            if (n_fields < 64) fields[n_fields++] = start;
+            if (n_fields < 1024) fields[n_fields++] = start;
             if (p == line + len) break;
             *p = 0;
             start = p + 1;
