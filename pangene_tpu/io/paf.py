@@ -298,8 +298,11 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
     from ..native import loader
     sess = getattr(d, "_nat_sess", None)
     if sess is None:
-        assert d.n_gene == 0 and d.n_prot == 0, \
-            "native session must own interning from the first file"
+        if d.n_gene or d.n_prot:
+            # another parser already interned names (e.g. an earlier "-"
+            # stdin file went through the Python path): the C session
+            # could not reproduce those ids, so stay on the Python parser
+            return None
         sess = loader.make_session(opt.gene_delim)
         if sess is None:
             return None
@@ -307,6 +310,10 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
         weakref.finalize(d, sess.close)
         d._nat_sess = sess
     n_gene0, n_prot0 = d.n_gene, d.n_prot
+    if sess.counts() != (n_gene0, n_prot0):
+        # a non-session parser interleaved (e.g. a "-" stdin file): the C
+        # session can no longer mint ids consistent with the tables
+        return None
     nat = loader.parse_paf_native(fn, opt.min_prot_ratio, opt.min_prot_iden,
                                   opt.score_adj_coef, sess=sess)
     if nat is None:
