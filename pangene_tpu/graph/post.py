@@ -19,9 +19,14 @@ def post_process(opt: PgOpt, d: DataSet) -> None:
     if opt.engine == "sharded" and d.n_genome:
         # the cross-genome protein-keyed reductions run as psums over the
         # genome mesh (SURVEY §2.4(2)); exact integer sums keep them
-        # bit-equal to the host loops
-        from ..parallel.stacked import post_reductions_sharded
-        mx, z, acc = post_reductions_sharded(opt, d)
+        # bit-equal to the host loops. Collectives only pay for themselves
+        # when the mesh actually shards genomes — on a single device the
+        # host loops win (each device round trip costs ~100ms on the
+        # tunnel), so gate on mesh size.
+        from ..parallel.mesh import make_mesh
+        if make_mesh(opt.n_devices).devices.size > 1:
+            from ..parallel.stacked import post_reductions_sharded
+            mx, z, acc = post_reductions_sharded(opt, d)
     pseudo_ops.cap_score_dom(d, mx)
     pseudo_ops.flag_representative(d, z)
     if not (opt.flag & PG_F_NO_JOINT_PSEUDO):
