@@ -29,14 +29,17 @@ integer form of the cov_short predicate (pallas_sweep.dyadic_ratio).
 Bit-equal to ops/sweep.py on the fuzz corpus (tests/test_pallas_tile.py).
 
 MEASURED OUTCOME (TPU v5 lite, 2026-08): the tile-pair formulation LOSES
-to the v1 rolling-frame kernel — H=16k: 196 vs 142 ms at W=512, 392 vs
-96 ms at W=2048 (v1 raises its block size with W, amortizing the rolls,
+to the v1 rolling-frame kernel — H=16k: ~200 vs 70 ms at W=512, ~480 vs
+84 ms at W=2048 (v1 raises its block size with W, amortizing the rolls,
 and pltpu.roll is cheap in VMEM on this generation; the tile grid pays
 for the full 128x128 rectangle twice while only the band near the
-diagonal can pass the window predicate). v1 stays the production Pallas
-kernel; this module is kept as the documented, tested alternative for
-hardware where roll bandwidth, not redundant compute, is the binding
-constraint.
+diagonal can pass the window predicate). A per-tile-pair viability
+pre-test (summary rows + @pl.when) skips dead pairs for free, but the
+dense fuzz corpus keeps every same-contig pair alive, so it does not
+close the gap there. v1 stays the production Pallas kernel; this module
+is the documented, tested alternative for hardware where roll bandwidth,
+not redundant compute, binds — and for sparse multi-contig bands where
+the viability skip prunes most of the grid.
 """
 from __future__ import annotations
 
@@ -54,8 +57,11 @@ I32_MIN = np.int32(-2**31)
 I32_MAX = np.int32(2**31 - 1)
 TL = 128
 
-# column order inside the stacked planes
+# column order inside the stacked planes; rows 11-14 carry per-tile
+# summary scalars (broadcast across the tile's lanes) for the viability
+# pre-test
 CS, CE, CID, FLT, REV, RANK, GID, SHI, SLO, WEAK, CLEN = range(11)
+SMIN_CS, SMAX_CE, SCID_LO, SCID_HI = 11, 12, 13, 14
 NC = 16  # padded to a sublane-tile multiple
 COL_ORDER = ("cs", "ce", "cid", "flt", "rev", "rank", "gid", "shi", "slo",
              "weak", "clen")
@@ -139,31 +145,43 @@ def _kernel(iN, jT, jN, iT, eNos_i, eNoe_i, eTos_j, eToe_j,
     dt = pl.program_id(0)
     p = pl.program_id(1)
     t = jnp.maximum(p - dt, 0)
-    i_lane = p * TL + jax.lax.broadcasted_iota(jnp.int32, (1, TL), 1)
-    j_subl = t * TL + jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
-    j_lane = t * TL + jax.lax.broadcasted_iota(jnp.int32, (1, TL), 1)
-    i_subl = p * TL + jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
     zero = jnp.zeros((1, TL), jnp.int32)
-
-    # i on lanes: collect loser = i candidates
-    outs = _tile_candidates(
-        iN[...], jT[...], eNos_i[...], eNoe_i[...], eTos_j[...],
-        eToe_j[...], i_lane, j_subl, lane_is_late=True, K=K,
-        check_strand=check_strand, cov_p=cov_p, cov_k=cov_k)
-    for r, v in enumerate(outs):
-        outA[0, r:r + 1, :] = v
-    for r in range(len(outs), 8):
+    for r in range(8):
         outA[0, r:r + 1, :] = zero
-
-    # j on lanes: collect loser = j candidates
-    outs = _tile_candidates(
-        jN[...], iT[...], eNos_j[...], eNoe_j[...], eTos_i[...],
-        eToe_i[...], j_lane, i_subl, lane_is_late=False, K=K,
-        check_strand=check_strand, cov_p=cov_p, cov_k=cov_k)
-    for r, v in enumerate(outs):
-        outB[0, r:r + 1, :] = v
-    for r in range(len(outs), 8):
         outB[0, r:r + 1, :] = zero
+
+    # tile-pair viability from per-tile summaries carried in the spare
+    # column-plane rows (SMIN_CS/SMAX_CE/SCID_LO/SCID_HI, broadcast across
+    # each tile's lanes): the pair can only produce overlaps when the cid
+    # ranges intersect and j's furthest end exceeds i's earliest start —
+    # with real bands most dt > 0 programs die here and skip the K^2 work
+    min_cs_i = iN[SMIN_CS, 0]
+    cid_lo_i, cid_hi_i = iN[SCID_LO, 0], iN[SCID_HI, 0]
+    max_ce_j = jN[SMAX_CE, 0]
+    cid_lo_j, cid_hi_j = jN[SCID_LO, 0], jN[SCID_HI, 0]
+    alive = (max_ce_j > min_cs_i) & (cid_hi_j >= cid_lo_i) \
+        & (cid_hi_i >= cid_lo_j)
+
+    @pl.when(alive)
+    def _():
+        i_lane = p * TL + jax.lax.broadcasted_iota(jnp.int32, (1, TL), 1)
+        j_subl = t * TL + jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
+        j_lane = t * TL + jax.lax.broadcasted_iota(jnp.int32, (1, TL), 1)
+        i_subl = p * TL + jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
+        # i on lanes: collect loser = i candidates
+        outs = _tile_candidates(
+            iN[...], jT[...], eNos_i[...], eNoe_i[...], eTos_j[...],
+            eToe_j[...], i_lane, j_subl, lane_is_late=True, K=K,
+            check_strand=check_strand, cov_p=cov_p, cov_k=cov_k)
+        for r, v in enumerate(outs):
+            outA[0, r:r + 1, :] = v
+        # j on lanes: collect loser = j candidates
+        outs = _tile_candidates(
+            jN[...], iT[...], eNos_j[...], eNoe_j[...], eTos_i[...],
+            eToe_i[...], j_lane, i_subl, lane_is_late=False, K=K,
+            check_strand=check_strand, cov_p=cov_p, cov_k=cov_k)
+        for r, v in enumerate(outs):
+            outB[0, r:r + 1, :] = v
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -217,7 +235,6 @@ def shadow_pallas_tile(cols_np: dict, K: int, W: int, H: int,
         colsN[c, :H] = cols_np[name]
         colsN[c, H:] = FILLS[name]
     colsN[len(COL_ORDER):] = 0
-    colsT = np.ascontiguousarray(colsN.T)
 
     eNos = np.zeros((Kp, Hp), np.int32)
     eNoe = np.zeros((Kp, Hp), np.int32)
@@ -225,6 +242,24 @@ def shadow_pallas_tile(cols_np: dict, K: int, W: int, H: int,
     eNoe[:K, :H] = cols_np["eoe"].T
     eTos = np.ascontiguousarray(eNos.T)
     eToe = np.ascontiguousarray(eNoe.T)
+
+    # per-tile summaries over REAL rows, broadcast across each tile's
+    # lanes in the spare plane rows; fully-padded tiles get impossible
+    # bounds (max_ce = INT32_MIN) so their programs skip
+    cs = cols_np["cs"]
+    ce = cols_np["ce"]
+    cid = cols_np["cid"]
+    for tt in range(T):
+        lo, hi = tt * TL, min((tt + 1) * TL, H)
+        sl = slice(tt * TL, (tt + 1) * TL)
+        if lo >= H:
+            vals = (I32_MAX, I32_MIN, 1, 0)
+        else:
+            vals = (cs[lo:hi].min(), ce[lo:hi].max(),
+                    cid[lo:hi].min(), cid[lo:hi].max())
+        for row, v in zip((SMIN_CS, SMAX_CE, SCID_LO, SCID_HI), vals):
+            colsN[row, sl] = v
+    colsT = np.ascontiguousarray(colsN.T)
 
     with jax.enable_x64(False):
         outA, outB = _run(jnp.asarray(colsN), jnp.asarray(colsT),
