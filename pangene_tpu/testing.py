@@ -16,7 +16,11 @@ import numpy as np
 
 def synth_paf_files(out_dir: str, n_genome: int = 8, n_gene: int = 200,
                     n_iso: int = 3, n_ctg: int = 4, seed: int = 0,
-                    paralog_rate: float = 0.08) -> List[str]:
+                    paralog_rate: float = 0.08,
+                    single_exon: bool = False) -> List[str]:
+    """Synthetic miniprot-shaped PAF corpus. single_exon=True emits
+    unspliced single-exon hits (the bacterial / miniprot -S shape,
+    BASELINE.json's bacterial config)."""
     rng = np.random.default_rng(seed)
     # gene layout shared across genomes: order along contigs with jitter
     gene_ctg = rng.integers(0, n_ctg, n_gene)
@@ -34,7 +38,7 @@ def synth_paf_files(out_dir: str, n_genome: int = 8, n_gene: int = 200,
             n_copies = 1 + (rng.random() < paralog_rate)
             for copy in range(n_copies):
                 for iso in range(1 + int(rng.integers(0, n_iso))):
-                    n_exon = int(rng.integers(2, 9))
+                    n_exon = 1 if single_exon else int(rng.integers(2, 9))
                     exon_aa = rng.integers(20, 200, n_exon)
                     introns = rng.integers(80, 5000, n_exon - 1)
                     qlen = int(exon_aa.sum()) + int(rng.integers(0, 30))

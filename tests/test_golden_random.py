@@ -131,3 +131,18 @@ def test_golden_edge_inputs(tmp_path):
     f2.write_text(rec_tags.replace("G1", "G2") + "\r\n")
     fls = [str(f1), str(f2)]
     assert run_ours(list(args), fls) == run_ref(list(args), fls)
+
+
+def test_golden_bacterial_shape(tmp_path):
+    """Unspliced single-exon corpus (the bacterial / miniprot -S shape):
+    many strains, single-exon hits everywhere. -J avoids the joint
+    pseudogene filter like real bacterial runs; -E exercises the
+    drop-single-exon path on the same data."""
+    from pangene_tpu.testing import synth_paf_files
+    d = tmp_path / "bact"
+    synth_paf_files(str(d), n_genome=20, n_gene=120, n_iso=1, seed=77,
+                    single_exon=True)
+    files = sorted(str(p) for p in d.iterdir()
+                   if str(p).endswith(".paf.gz"))
+    for args in ([], ["-J"], ["-E"], ["-J", "-a2"]):
+        assert run_ours(list(args), files) == run_ref(list(args), files), args
