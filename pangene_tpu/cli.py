@@ -57,7 +57,7 @@ Options:
     --bed[=STR]   output 12-column BED where STR is walk, raw or flag [walk]
     --version     print version number
   TPU engine:
-    --engine STR  host | host-ref | jax | sharded [host]
+    --engine STR  host | host-vec | host-ref | jax | sharded [host]
     --devices INT shard genomes over INT devices (sharded engine; 0=all) [1]
     --save-hits F checkpoint post-ingest hit tensors to F (.npz)
     --load-hits F resume from a checkpoint instead of parsing PAFs
@@ -99,9 +99,11 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
             opt.flag |= PG_F_ORI_FOR_BRANCH
         elif a == "--engine":
             opt.engine = need_arg()
-            if opt.engine not in ("host", "host-ref", "jax", "sharded"):
+            if opt.engine not in ("host", "host-vec", "host-ref", "jax",
+                                  "sharded"):
                 raise SystemExit("ERROR: unknown --engine %r; expected "
-                                 "host|host-ref|jax|sharded" % opt.engine)
+                                 "host|host-vec|host-ref|jax|sharded"
+                                 % opt.engine)
         elif a == "--devices":
             opt.n_devices = int(need_arg())
         elif a == "--save-hits":

@@ -16,26 +16,50 @@ from .netgraph import NetGraph, tprint
 
 
 def _getopt(args: List[str], optstr: str):
-    """Minimal getopt over a mutable arg list (k8 getopt semantics)."""
+    """k8 getopt (reference pangene.js:15-77, longopts=[]): bundled short
+    flags (`-bd`), inline or following option arguments, `--` terminates
+    parsing (and stays in the remainder, as in k8), consumed argv items are
+    deleted so `rest` is exactly the surviving argv; unknown options
+    (including any `--long`) yield '?' which callers ignore."""
     opts = []
-    rest = []
-    i = 0
-    while i < len(args):
-        a = args[i]
-        if a.startswith("-") and len(a) > 1 and not a.startswith("--"):
-            c = a[1]
-            k = optstr.find(c)
-            if k >= 0 and k + 1 < len(optstr) and optstr[k + 1] == ":":
-                arg = a[2:] if len(a) > 2 else (args[i + 1] if i + 1 < len(args) else "")
-                if len(a) == 2:
-                    i += 1
-                opts.append(("-" + c, arg))
-            else:
-                opts.append(("-" + c, ""))
+    argv = list(args)
+    pos = 0
+    cur = 0
+    while cur < len(argv):
+        while cur < len(argv):  # skip non-option arguments
+            if argv[cur].startswith("-") and len(argv[cur]) > 1:
+                if argv[cur] == "--":
+                    cur = len(argv)
+                break
+            cur += 1
+        if cur >= len(argv):
+            break
+        a = argv[cur]
+        arg = ""
+        if a.startswith("--"):  # long option; no longopts defined -> '?'
+            pos = -1
+            opt = "?"
         else:
-            rest.append(a)
-        i += 1
-    return opts, rest
+            if pos == 0:
+                pos = 1
+            opt = a[pos]
+            pos += 1
+            k = optstr.find(opt)
+            if k < 0:
+                opt = "?"
+            elif k + 1 < len(optstr) and optstr[k + 1] == ":":
+                if pos >= len(a):
+                    if cur + 1 < len(argv):
+                        arg = argv[cur + 1]
+                        del argv[cur + 1]
+                else:
+                    arg = a[pos:]
+                pos = -1
+        if pos < 0 or pos >= len(a):
+            del argv[cur]
+            pos = 0
+        opts.append(("-" + opt if opt != "?" else "?", arg))
+    return opts, argv
 
 
 def cmd_call(args: List[str]) -> None:

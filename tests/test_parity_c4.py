@@ -57,3 +57,10 @@ def test_synth16_parity(golden_dir, tmp_path):
     got = run_capture([], files)
     want = gzip.open(golden_dir / "synth16.gfa.gz", "rt").read()
     assert got == want
+
+
+def test_c4_cli_host_vec_engine(c4_pafs, golden_dir):
+    """--engine host-vec is reachable from the CLI (it is the production
+    fallback when no C compiler exists) and byte-identical on C4."""
+    got = run_capture(["--engine", "host-vec"], c4_pafs)
+    assert got == (golden_dir / "C4.gfa").read_text()

@@ -208,3 +208,28 @@ def test_random_chained_diamonds(tmp_path, capsys):
         got[(c[4].lstrip("><"), c[5].lstrip("><"))] = set(c[8].split(","))
     for vs, ve, interior in planted:
         assert got.get((vs, ve)) == interior, (vs, ve)
+
+
+def test_getopt_k8_semantics():
+    """_getopt must match k8 getopt (pangene.js:15-77): bundled short
+    flags, inline/following args, `--` termination keeping `--` in rest,
+    unknown opts (and any --long) yield '?'."""
+    from pangene_tpu.tools.cli import _getopt
+    # bundled flags
+    opts, rest = _getopt(["-bd", "in.gfa"], "bedpm:wr:s")
+    assert opts == [("-b", ""), ("-d", "")] and rest == ["in.gfa"]
+    # bundled flag + arg-taking opt with inline arg
+    opts, rest = _getopt(["-wm50", "x"], "bedpm:wr:s")
+    assert opts == [("-w", ""), ("-m", "50")] and rest == ["x"]
+    # arg-taking opt consuming the next argv item
+    opts, rest = _getopt(["-m", "50", "x"], "bedpm:wr:s")
+    assert opts == [("-m", "50")] and rest == ["x"]
+    # `--` terminates; it and everything after stay in rest (k8 quirk)
+    opts, rest = _getopt(["-b", "--", "-d", "y"], "bedpm:wr:s")
+    assert opts == [("-b", "")] and rest == ["--", "-d", "y"]
+    # unknown short option and long option both yield '?'
+    opts, rest = _getopt(["-z", "--long", "f"], "bedpm:wr:s")
+    assert opts == [("?", ""), ("?", "")] and rest == ["f"]
+    # non-options interleave untouched
+    opts, rest = _getopt(["a", "-e", "b", "-m7"], "bedpm:wr:s")
+    assert opts == [("-e", ""), ("-m", "7")] and rest == ["a", "b"]
