@@ -106,17 +106,40 @@ def cut_low_arc(opt: PgOpt, q: Graph) -> None:
 
 
 def graph_gen(opt: PgOpt, q: Graph) -> None:
-    """The full 3-phase schedule (pg_graph_gen, graph.c:280-322)."""
+    """The full 3-phase schedule (pg_graph_gen, graph.c:280-322).
+
+    Under --engine sharded, phases 2+3 run as ONE device-resident program
+    over the genome mesh (parallel/device_loop.py) — phase 1 runs on the
+    host first, which also settles the physical sort order into its steady
+    cycle (the device loop's precondition). Any precondition or capacity
+    failure falls back to the host rounds below, bit-identically.
+    """
     d = q.d
+    import os
+    use_devloop = (opt.engine == "sharded"
+                   and os.environ.get("PANGENE_DEVICE_LOOP", "1") != "0")
 
     # phase 1: initial vertices
     set_filter(d, "pseudo", 1)
     gen_vtx(opt, q)
     q.flag_vtx()
     set_filter_eq0(d, "vtx")
-    arcs_ops.gen_arc(opt, q)
+    if use_devloop:
+        arcs_ops.gen_arc_loop(opt, q)
+    else:
+        arcs_ops.gen_arc(opt, q)
     log_msg("pg_graph_gen", "round-1 graph: %d genes and %d arcs",
             q.n_seg, q.n_arc)
+    if use_devloop:
+        from ..parallel.device_loop import graph_gen_device
+        if graph_gen_device(opt, q):
+            set_filter(d, "shadow", 1)
+            if opt.min_arc_cnt > 1:
+                cut_low_arc(opt, q)
+            q.arc_index()
+            log_msg("pg_graph_gen", "round-3 graph: %d genes and %d arcs",
+                    q.n_seg, q.n_arc)
+            return
 
     # phase 2: relaxed high-occurrence filter (max_dist_loci not yet known)
     flt_high_occ(q, opt.max_avg_occ * 2, opt.max_degree * 2, opt.max_dist_loci)

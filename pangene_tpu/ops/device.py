@@ -15,9 +15,9 @@ equals the reference's first-max-wins chronological scan (overlap.c:148-155).
 
 Float caveat: TPU f64 is emulated (double-double) and division is NOT
 IEEE-exact (verified empirically), so the one float predicate —
-cov_short < min_ov_ratio (overlap.c:134-136) — runs with a conservative
-ambiguity margin; if any pair lands inside the margin the caller falls back
-to the host oracle for that genome (never observed on real data).
+cov_short < min_ov_ratio (overlap.c:134-136) — is evaluated EXACTLY with
+the integer software round-to-nearest division in ops/softfloat.py; the
+kernels contain no floating point at all.
 """
 from __future__ import annotations
 
@@ -167,21 +167,25 @@ def ov_isoform_kernel(c: SweepCols, W: int, check_strand: bool) -> jnp.ndarray:
     return marks
 
 
-@functools.partial(jax.jit, static_argnames=("W", "check_strand"))
-def shadow_kernel(c: SweepCols, min_ov_ratio: jnp.ndarray, W: int,
+@functools.partial(jax.jit, static_argnames=("min_ov_ratio", "W",
+                                              "check_strand"))
+def shadow_kernel(c: SweepCols, min_ov_ratio: float, W: int,
                   check_strand: bool):
     """Device pg_shadow sweep (overlap.c:101-156).
 
-    Returns (marks, best_score, best_other, best_ov, ambiguous_any):
-    per-hit loser marks and the dominator argmax (max winner packed score,
-    ties -> smallest other index), plus a flag when the cov_short float
-    predicate was within the emulated-f64 ambiguity margin.
+    Returns (marks, best_score, best_other, best_ov): per-hit loser marks
+    and the dominator argmax (max winner packed score, ties -> smallest
+    other index).  The cov_short gate ``(double)ov / min(li,lj) <
+    min_ov_ratio`` (overlap.c:134-136) is evaluated EXACTLY via the
+    software round-to-nearest division (ops/softfloat) — no f64, no
+    ambiguity, min_ov_ratio is a static host double.
     """
+    from . import softfloat as sf
     H = c.valid.shape[0]
     INT_MAX = jnp.int32(2**31 - 1)
 
     def step(carry, delta):
-        marks, b_score, b_other, b_ov, amb = carry
+        marks, b_score, b_other, b_ov = carry
         mask, ov = _pair_core(c, delta, W, check_strand)
         gid_j = _shift_prev(c.gid, delta, W, jnp.int32(-1))
         ps_j = _shift_prev(c.pscore, delta, W, jnp.uint64(0))
@@ -189,14 +193,9 @@ def shadow_kernel(c: SweepCols, min_ov_ratio: jnp.ndarray, W: int,
         weak_j = _shift_prev(c.weak_br, delta, W, jnp.int32(0))
         len_j = _shift_prev(c.cds_len, delta, W, jnp.int32(1))
         same_gene = gid_j == c.gid
-        # cov_short = ov / min(li, lj) < min_ov_ratio (f64 in the reference);
-        # emulated-f64 division may be off by ~1 ulp -> ambiguity margin
-        m = jnp.minimum(c.cds_len, len_j).astype(jnp.float64)
-        q = ov.astype(jnp.float64) / m
-        cov_ok = q >= min_ov_ratio
-        near = jnp.abs(ov.astype(jnp.float64) - min_ov_ratio * m) \
-            <= 1e-13 * min_ov_ratio * m
-        amb |= jnp.any(mask & ~same_gene & near)
+        minlen = jnp.maximum(jnp.minimum(c.cds_len, len_j), 1)
+        qm, qk = sf.div_rn(ov, minlen.astype(jnp.int64))
+        cov_ok = ~sf.lt_const(qm, qk, min_ov_ratio)
         mask &= same_gene | cov_ok
         # loser selection (overlap.c:139-147)
         score_i_loses = (c.pscore < ps_j) | ((c.pscore == ps_j)
@@ -225,13 +224,12 @@ def shadow_kernel(c: SweepCols, min_ov_ratio: jnp.ndarray, W: int,
         b_score = jnp.where(upd, sc_j, b_score)
         b_other = jnp.where(upd, other_i, b_other)
         b_ov = jnp.where(upd, ov_j.astype(jnp.int32), b_ov)
-        return (marks, b_score, b_other, b_ov, amb), None
+        return (marks, b_score, b_other, b_ov), None
 
     carry0 = (jnp.zeros_like(c.valid),
               jnp.zeros(H, jnp.uint64),
               jnp.full(H, INT_MAX, jnp.int32),
-              jnp.zeros(H, jnp.int32),
-              jnp.asarray(False))
-    (marks, b_score, b_other, b_ov, amb), _ = lax.scan(
+              jnp.zeros(H, jnp.int32))
+    (marks, b_score, b_other, b_ov), _ = lax.scan(
         step, carry0, jnp.arange(1, W + 1))
-    return marks, b_score, b_other, b_ov, amb
+    return marks, b_score, b_other, b_ov

@@ -3,8 +3,9 @@
 Builds padded SweepCols from a Genome, invokes the jitted kernels (shapes
 bucketed to powers of two so XLA compilations are reused across genomes and
 rounds), and finalizes the float-sensitive pieces (score_dom's +.499
-blending, counts) in host IEEE f64. Falls back to the host oracle for a
-genome whenever the device cov_short predicate reports ambiguity.
+blending, counts) in host IEEE f64. The kernels themselves are exact
+integer programs (ops/softfloat), so results are bit-equal to the host
+oracle with no fallback path.
 """
 from __future__ import annotations
 
@@ -15,7 +16,6 @@ import numpy as np
 from ..core.data import DataSet, Genome
 from ..options import PgOpt
 from . import device as dev
-from . import sweep as host_sweep
 from .overlap import cds_len_all
 
 import jax.numpy as jnp
@@ -109,16 +109,15 @@ def flt_ov_isoform(opt: PgOpt, d: DataSet, g: Genome) -> int:
 
 
 def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
-    """Device-backed pg_shadow; falls back to the host oracle on float
-    ambiguity (emulated-f64 margin) — identical results either way."""
+    """Device-backed pg_shadow; bit-equal to the host oracle (the coverage
+    gate runs through the exact softfloat division, so there is no float
+    ambiguity and no fallback)."""
     if g.n_hit == 0:
         return 0
     H, K, W = _shapes(d, g)
     cols = build_cols(d, g, H, K)
-    marks, b_score, b_other, b_ov, amb = dev.shadow_kernel(
-        cols, jnp.float64(opt.min_ov_ratio), W, opt.check_strand)
-    if bool(amb):
-        return host_sweep.shadow(opt, d, g, cal_dom_sc)
+    marks, b_score, b_other, b_ov = dev.shadow_kernel(
+        cols, float(opt.min_ov_ratio), W, opt.check_strand)
     h = g.hits
     n = len(h)
     marks = np.asarray(marks)[:n]

@@ -173,15 +173,21 @@ def one_minus_div(s1: jnp.ndarray, mx: jnp.ndarray
     return m, k
 
 
-def gt_const(m: jnp.ndarray, k: jnp.ndarray, cm: int, ck: int) -> jnp.ndarray:
-    """value(m, k) > value(cm, ck) for non-negative normalized doubles."""
-    if cm == 0:
+def gt_const(m: jnp.ndarray, k: jnp.ndarray, c: float) -> jnp.ndarray:
+    """value(m, k) > c for a non-negative normalized double value and a
+    host-side double constant c (any sign)."""
+    if c < 0.0:
+        return jnp.ones(m.shape, bool)
+    if c == 0.0:
         return m > 0
+    cm, ck = decompose(c)
     return (m > 0) & ((k < ck) | ((k == ck) & (m > cm)))
 
 
-def lt_const(m: jnp.ndarray, k: jnp.ndarray, cm: int, ck: int) -> jnp.ndarray:
-    """value(m, k) < value(cm, ck) for non-negative normalized doubles."""
-    if cm == 0:
+def lt_const(m: jnp.ndarray, k: jnp.ndarray, c: float) -> jnp.ndarray:
+    """value(m, k) < c for a non-negative normalized double value and a
+    host-side double constant c (any sign)."""
+    if c <= 0.0:
         return jnp.zeros(m.shape, bool)
+    cm, ck = decompose(c)
     return (m == 0) | (k > ck) | ((k == ck) & (m < cm))

@@ -1,0 +1,700 @@
+"""Device-resident graph-round schedule: phases 2+3 of pg_graph_gen
+(reference graph.c:280-322) as ONE jitted program on the genome mesh.
+
+Motivation (measured): the per-round sharded step (parallel/stacked.py)
+costs one [G, 13H] device->host plane per round, and the axon tunnel has a
+~170 ms latency floor per transfer — 17 rounds were ~36x slower than the
+host engine. This module removes EVERY per-round host sync: after the host
+runs phase 1 (which also settles the physical sort order into its steady
+cycle), the remaining (1 + n_branch_flt) rounds — branch marking
+(branch.c:48-106), weak propagation (branch.c:108-145), weak/vertex
+filtering, the annealed high-occurrence filter (graph.c:237-263) and arc
+regeneration with the two-level exact-integer merge (graph.c:87-177) — run
+inside a single lax.fori_loop under one shard_map, with lax.psum /
+all_gather collectives across the 'g' axis. One upload, one compiled
+program, one pull.
+
+Bit-exactness:
+  * Every in-loop IEEE-double expression of the reference runs through
+    ops/softfloat (exact integer emulation): the per-genome dist average
+    and merged s1/s2 averages ``(int)((double)S/n + .499)``
+    (graph.c:141,170-172), the branch deficit ``1.0 - (double)s1/max``
+    compared against -b/-y/-B (branch.c:72-78), and the shadow coverage
+    gate (overlap.c:134-136, inside ops/device.shadow_kernel).
+  * Physical hit order: the reference re-sorts every genome cm->cs each
+    round; once that round trip is a cycle (ops/sort.py), the cs order is
+    a fixed point and the cm order is a fixed gather view — both verified
+    on host before entry (fallback to the host rounds otherwise).
+  * Segment deletion keeps ORIGINAL seg ids behind an alive-mask; the
+    reference's hard-compaction (graph.c:219-235) is order-preserving, so
+    arc keys group and sort identically; ids are compacted once on the
+    host after the loop.
+  * Capacity overflows (arc table, branch window) set a flag and the host
+    falls back to the reference-exact host rounds.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..options import PgOpt
+from ..ops import device as dev
+from ..ops import softfloat as sf
+from ..util import log_msg
+from .mesh import make_mesh
+from . import stacked
+
+I64 = jnp.int64
+SENT = jnp.int64((1 << 62) - 1)          # empty arc-table slot
+KSENT = jnp.int64((1 << 62))             # merge-sort key for invalid rows
+
+
+class Cfg(NamedTuple):
+    """Static compile-time configuration of the device schedule."""
+    H: int          # hit capacity per genome
+    K: int          # exon capacity per hit
+    W: int          # sweep band width
+    S: int          # segment count at entry (original ids)
+    A: int          # merged arc-table capacity
+    D: int          # max arcs per oriented vertex (branch window)
+    B: int          # bits of a packed vertex (sid<<1|rev < 2^B)
+    GB: int         # bits of a genome index
+    n_gene: int
+    R: int          # device rounds: 1 (phase 2) + n_branch_flt
+    G_loc: int      # genomes per shard
+    check_strand: bool
+    use_ori: bool
+    frag_mode: bool
+    min_ov_ratio: float
+    branch_diff: float
+    branch_diff_dist: float
+    branch_diff_cut: float
+    local_dist: int
+    local_count: int
+    verbose_del: bool
+
+
+def _seg_reduce(op, vals, seg_id, n):
+    return op(vals, seg_id, num_segments=n)
+
+
+def _plus499_i32(S, n):
+    return sf.plus499_trunc(S, jnp.maximum(n, 1)).astype(jnp.int32)
+
+
+def _steady_cm_views(d):
+    """Per genome: the cm-order index vector IF the cm->cs round trip from
+    the current physical order is a cycle (no mutation); None otherwise."""
+    views = []
+    for g in d.genomes:
+        h = g.hits
+        n = len(h)
+        if n == 0:
+            views.append(np.zeros(0, np.int64))
+            continue
+        cid = np.asarray(h.cid)
+        perm_cm = np.lexsort((np.asarray(h.cm), cid))
+        back = np.lexsort((np.asarray(h.cs)[perm_cm], cid[perm_cm]))
+        if not np.array_equal(perm_cm[back], np.arange(n)):
+            return None
+        views.append(perm_cm.astype(np.int64))
+    return views
+
+
+# ---------------------------------------------------------------------------
+# the jitted schedule
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _schedule(cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
+              seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch,
+              do_occ, *, cfg: Cfg, mesh):
+    gs = P("g")
+    rep = P()
+
+    def per_shard(cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
+                  seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch,
+                  do_occ):
+        Gl, H = cols["cid"].shape
+        S, A, D, B, GB = cfg.S, cfg.A, cfg.D, cfg.B, cfg.GB
+        ng = cfg.n_gene
+        iotaH = jnp.arange(H, dtype=jnp.int32)
+        iotaA = jnp.arange(A, dtype=jnp.int64)
+        jglob = (lax.axis_index("g").astype(I64) * cfg.G_loc
+                 + jnp.arange(Gl, dtype=I64))          # [Gl]
+        wmask = jnp.int64((1 << B) - 1)
+
+        # ---- one-time device-side constant prep ----
+        abs_os, abs_oe = jax.vmap(
+            lambda off, ne, cs, eo, ee: stacked._gather_exons(
+                off, ne, cs, eo, ee, cfg.K)
+        )(cols["off_exon"], cols["n_exon"], cols["cs"], exo, exe)
+
+        def g_cm(a):  # gather a [Gl, H] column into cm order
+            return jnp.take_along_axis(a, ordcm, axis=1)
+
+        cid_cm = g_cm(cols["cid"])
+        cm_cm = g_cm(cols["cm"])
+        gid_cm = g_cm(cols["gid"])
+        rev_cm = g_cm(cols["rev"].astype(jnp.int32))
+        so_cm = g_cm(cols["score_ori"])
+        sd_cm = g_cm(cols["score_dom"])
+        dg_cm = g_cm(cols["dom_gid"])
+        valid_cm = g_cm(cols["valid"].astype(jnp.int32)) != 0
+        sid_cm = sid_of[jnp.clip(gid_cm, 0, ng - 1)]
+        dsid_cm = sid_of[jnp.clip(dg_cm, 0, ng - 1)]
+
+        def kept_pairs(flt, shadow, alive):
+            """Adjacent kept pairs in cm order: (pair_ok, prev, i, v, w,
+            dist, s1, s2) as [Gl, H] arrays (positions are cm-order)."""
+            keptc = (~flt) & (~shadow)
+            kept = g_cm(keptc.astype(jnp.int32)).astype(bool) & valid_cm
+            idxk = jnp.where(kept, iotaH[None, :], -1)
+            run = lax.associative_scan(jnp.maximum, idxk, axis=1)
+            prev = jnp.concatenate(
+                [jnp.full((Gl, 1), -1, jnp.int32), run[:, :-1]], axis=1)
+            prevc = jnp.clip(prev, 0, H - 1)
+            take = lambda a: jnp.take_along_axis(a, prevc, axis=1)
+            pair_ok = kept & (prev >= 0) & (take(cid_cm) == cid_cm)
+            w = (sid_cm.astype(I64) << 1) | rev_cm.astype(I64)
+            v = take(w)
+            # dist truncates to int32 like the reference pg_tmparc_t
+            dist = (cm_cm - take(cm_cm)).astype(jnp.int32)
+            dom_alive = (dg_cm >= 0) & (dsid_cm >= 0) \
+                & alive[jnp.clip(dsid_cm, 0, S - 1)]
+            use_ori_vec = (cfg.use_ori | (so_cm > sd_cm) | (dg_cm < 0)
+                           | dom_alive)
+            sc = jnp.where(use_ori_vec, so_cm, sd_cm).astype(jnp.int64)
+            return kept, pair_ok, prev, v, w, dist, take(sc), sc
+
+        # ---- round body ----
+        def body(r, st):
+            (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
+             arc_vw, arc_s1, arc_ng, arc_tot, arc_ds, arc_s1s, arc_s2s,
+             loci_st, logs, dcap, overflow) = st
+
+            # ===== branch marking on the previous round's arcs =====
+            valid_a = arc_vw != SENT
+            v_a = arc_vw >> B
+            prev_v = jnp.concatenate([jnp.array([-1], I64), v_a[:-1]])
+            g_new = valid_a & (v_a != prev_v)
+            g_id = jnp.clip(jnp.cumsum(g_new.astype(jnp.int32)) - 1, 0, A - 1)
+            n_in_g = _seg_reduce(jax.ops.segment_sum,
+                                 valid_a.astype(jnp.int32), g_id, A)[g_id]
+            gs_of = _seg_reduce(jax.ops.segment_min,
+                                jnp.where(valid_a, iotaA, A), g_id, A)[g_id]
+            mx = _seg_reduce(jax.ops.segment_max,
+                             jnp.where(valid_a, arc_s1, 0), g_id, A)[g_id]
+            mx = jnp.maximum(mx, 0)
+            branching = valid_a & (n_in_g >= 2)
+            tgt_gid = seg_gid[jnp.clip((arc_vw & wmask) >> 1, 0, S - 1)]
+            tgt_gid = jnp.clip(tgt_gid, 0, ng - 1)
+
+            def branch_block(_):
+                ovf = jnp.any(branching & (n_in_g > D))
+                # rep positions (branch.c:6-29): last kept hit per gene in
+                # the CURRENT cs order, with its kept-rank and cm
+                keptc = ((flt == 0) & (shadow == 0) & cols["valid"])
+                krank = jnp.cumsum(keptc.astype(jnp.int32), axis=1) - 1
+                pos = jnp.where(keptc, iotaH[None, :], -1)
+                gidc = jnp.clip(cols["gid"], 0, ng - 1)
+                last = jnp.full((Gl, ng), -1, jnp.int32)
+                last = last.at[jnp.arange(Gl)[:, None], gidc].max(
+                    pos, mode="drop")
+                lastc = jnp.clip(last, 0, H - 1)
+                takeg = lambda a: jnp.take_along_axis(a, lastc, axis=1)
+                r_pres = last >= 0
+                r_cid = takeg(cols["cid"])
+                r_rank = takeg(krank)
+                r_cm = takeg(cols["cm"])
+                # pairwise any-genome locality over the group window
+                # (only zero-ness of n_local is ever used: branch.c:76)
+                pa = r_pres[:, tgt_gid]           # [Gl, A], a-side hoisted
+                ca = r_cid[:, tgt_gid]
+                ma = r_cm[:, tgt_gid]
+                ra = r_rank[:, tgt_gid].astype(I64)
+
+                def loc_q(q, Lb):
+                    mem = jnp.clip(gs_of + q, 0, A - 1)
+                    in_g = (q < n_in_g) & valid_a
+                    gb = tgt_gid[mem]
+                    ok = pa & r_pres[:, gb]
+                    if not cfg.frag_mode:
+                        ok &= ca == r_cid[:, gb]
+                    dd = jnp.abs(ma - r_cm[:, gb])
+                    cc = jnp.abs(ra - r_rank[:, gb].astype(I64))
+                    loc = ok & ((dd <= cfg.local_dist)
+                                | (cc <= cfg.local_count))
+                    anyg = lax.psum(jnp.any(loc, axis=0).astype(jnp.int32),
+                                    "g") > 0
+                    return Lb.at[:, q].set(anyg & in_g)
+
+                Lb = jnp.zeros((A, D), bool)
+                Lb = lax.fori_loop(0, D, loc_q, Lb)
+                qs = jnp.arange(D)
+                mem_all = jnp.clip(gs_of[:, None] + qs[None, :], 0, A - 1)
+                is_max = branching & (arc_s1 == mx)
+                rm, rk = sf.one_minus_div(
+                    jnp.maximum(arc_s1, 0).astype(I64),
+                    jnp.maximum(mx, 1).astype(I64))
+                cand = branching & (mx > 0) \
+                    & sf.gt_const(rm, rk, cfg.branch_diff)
+                nloc_any = jnp.any(Lb & is_max[mem_all], axis=1)
+                cut = cand & ((~nloc_any
+                               & sf.gt_const(rm, rk, cfg.branch_diff_dist))
+                              | sf.gt_const(rm, rk, cfg.branch_diff_cut))
+                aw = jnp.where(cut, 2, jnp.where(cand, 1, 0)).astype(jnp.uint8)
+                # n_dist_loci (branch.c:82-90): count group members with no
+                # earlier local partner (the greedy marks j from every
+                # earlier i regardless of i's own group)
+                p_in = (iotaA - gs_of).astype(jnp.int32)
+                has_earlier = jnp.any(
+                    Lb & (qs[None, :] < p_in[:, None]), axis=1)
+                contrib = branching & ~has_earlier
+                n_grp = _seg_reduce(jax.ops.segment_sum,
+                                    contrib.astype(jnp.int32), g_id, A)
+                loci = jnp.zeros((S, 2), jnp.int32)
+                head = g_new & (n_in_g >= 2)
+                sidh = jnp.clip(v_a >> 1, 0, S - 1)
+                orih = (v_a & 1).astype(jnp.int32)
+                loci = loci.at[sidh, orih].add(
+                    jnp.where(head, n_grp[g_id], 0), mode="drop")
+                n1 = jnp.sum((cand & ~cut).astype(jnp.int64))
+                n2 = jnp.sum(cut.astype(jnp.int64))
+                return aw, loci, n1, n2, ovf
+
+            def no_branch(_):
+                return (jnp.zeros(A, jnp.uint8), jnp.zeros((S, 2), jnp.int32),
+                        jnp.int64(0), jnp.int64(0), jnp.asarray(False))
+
+            arc_weak, loci, n_flt1, n_flt2, ovf_b = lax.cond(
+                do_branch[r], branch_block, no_branch, None)
+            overflow |= ovf_b
+            loci_st = jnp.where(do_branch[r], loci, loci_st)
+
+            # ===== weak propagation onto hits (branch.c:108-145) =====
+            def prop_block(weak):
+                kept, pair_ok, prev, v, w, _, _, _ = kept_pairs(
+                    flt != 0, shadow != 0, alive)
+                kf = (v << B) | w
+                kr = ((w ^ 1) << B) | (v ^ 1)
+
+                def probe(keys):
+                    pos = jnp.searchsorted(arc_vw, keys)
+                    posc = jnp.clip(pos, 0, A - 1)
+                    hit = arc_vw[posc] == keys
+                    return jnp.where(hit, arc_weak[posc], 0).astype(jnp.uint8)
+
+                wk_f = jnp.where(pair_ok, jax.vmap(probe)(kf), 0) \
+                    .astype(jnp.uint8)
+                wk_r = jnp.where(pair_ok, jax.vmap(probe)(kr), 0) \
+                    .astype(jnp.uint8)
+                rows = jnp.arange(Gl)[:, None]
+                # earlier hit gets the forward arc's mark, later the rev's
+                tgt_prev = jnp.take_along_axis(
+                    ordcm, jnp.clip(prev, 0, H - 1), axis=1)
+                weak = weak.at[rows, tgt_prev].max(wk_f, mode="drop")
+                weak = weak.at[rows, ordcm].max(
+                    jnp.where(pair_ok, wk_r, 0), mode="drop")
+                return weak
+
+            weak = lax.cond(do_branch[r], prop_block, lambda w: w, weak)
+            n_prop = lax.psum(
+                jnp.sum((weak != 0) & cols["valid"], dtype=jnp.int64), "g")
+            flt = jnp.where((weak == 2) & (flt == 0), 1, flt) \
+                .astype(jnp.uint8)
+
+            # ===== annealed high-occurrence filter (graph.c:237-263) =====
+            def occ_block(args):
+                alive, flt = args
+                occ_del = alive & (seg_tot.astype(jnp.int64) > occ_cut[r])
+                deg = jnp.zeros(2 * S, jnp.int32).at[
+                    jnp.clip(v_a, 0, 2 * S - 1)].add(
+                        jnp.where(g_new, n_in_g, 0), mode="drop")
+                degd = jnp.zeros(S, bool).at[jnp.clip(v_a >> 1, 0, S - 1)] \
+                    .max(g_new & (n_in_g > deg_cut[r]), mode="drop")
+                degd &= alive
+                locid = alive & (jnp.maximum(loci[:, 0], loci[:, 1])
+                                 > loci_cut[r])
+                n_occ = jnp.sum(occ_del, dtype=jnp.int64)
+                n_deg = jnp.sum(degd & ~occ_del, dtype=jnp.int64)
+                n_loci = jnp.sum(locid & ~degd & ~occ_del, dtype=jnp.int64)
+                newdel = occ_del | degd | locid
+                alive = alive & ~newdel
+                # hits of dead genes leave the walk (PG_SET_FILTER(vtx==0))
+                sid_h = sid_of[jnp.clip(cols["gid"], 0, ng - 1)]
+                dead = (sid_h < 0) | ~alive[jnp.clip(sid_h, 0, S - 1)]
+                flt = jnp.where(dead & cols["valid"] & (flt == 0), 1, flt) \
+                    .astype(jnp.uint8)
+                return alive, flt, n_occ, n_deg, n_loci, newdel, deg
+
+            def no_occ(args):
+                alive, flt = args
+                return (alive, flt, jnp.int64(0), jnp.int64(0), jnp.int64(0),
+                        jnp.zeros(S, bool), jnp.zeros(2 * S, jnp.int32))
+
+            alive, flt, n_occ, n_deg, n_loci, newdel, deg_v = lax.cond(
+                do_occ[r], occ_block, no_occ, (alive, flt))
+            if cfg.verbose_del:
+                dcap_mask, dcap_deg, dcap_loci, dcap_tot = dcap
+                sidx = jnp.arange(S)
+                dcap_mask = dcap_mask.at[r].set(newdel.astype(jnp.uint8))
+                dcap_deg = dcap_deg.at[r, :, 0].set(deg_v[sidx * 2])
+                dcap_deg = dcap_deg.at[r, :, 1].set(deg_v[sidx * 2 + 1])
+                dcap_loci = dcap_loci.at[r].set(loci)
+                dcap_tot = dcap_tot.at[r].set(seg_tot)
+                dcap = (dcap_mask, dcap_deg, dcap_loci, dcap_tot)
+
+            # ===== arc regeneration (graph.c:87-177) =====
+            # shadow sweep on the (fixed) cs order
+            sc = dev.SweepCols(
+                valid=cols["valid"], cid=cols["cid"], cs=cols["cs"],
+                ce=cols["ce"], flt=flt != 0,
+                rev=cols["rev"].astype(jnp.int32), rank=cols["rank"],
+                gid=cols["gid"], pscore=cols["pscore"],
+                weak_br=weak.astype(jnp.int32), cds_len=cols["cds_len"],
+                ex_os=abs_os, ex_oe=abs_oe)
+            marks, b_score, b_other, _ = jax.vmap(
+                lambda c: dev.shadow_kernel(c, cfg.min_ov_ratio, W=cfg.W,
+                                            check_strand=cfg.check_strand))(sc)
+            nonflt = flt == 0
+            evaluated = nonflt & (iotaH[None, :] >= 1) & cols["valid"]
+            shadow = jnp.where(evaluated, marks,
+                               (shadow != 0) | marks).astype(jnp.uint8)
+            rows = jnp.arange(Gl)[:, None]
+            otherc = jnp.clip(b_other, 0, H - 1)
+            has_dom = nonflt & (b_score > jnp.uint64(0))
+            pid_o = jnp.take_along_axis(cols["pid"], otherc, axis=1)
+            pid_dom = jnp.where(nonflt, -1, pid_dom)
+            pid_dom = jnp.where(has_dom, pid_o, pid_dom).astype(jnp.int32)
+
+            # walk + per-genome seg counters
+            kept, pair_ok, prev, v, w, dist, s1w, s2w = kept_pairs(
+                flt != 0, shadow != 0, alive)
+            sidc = jnp.clip(sid_cm, 0, S - 1)
+            cnts = jnp.zeros((Gl, S), jnp.int32).at[rows, sidc].add(
+                kept.astype(jnp.int32), mode="drop")
+            seg_tot = lax.psum(cnts.sum(0, dtype=jnp.int32), "g")
+            seg_ng = lax.psum((cnts > 0).sum(0, dtype=jnp.int32), "g")
+
+            # two-level merge from ONE global sort of (vw, genome) keys
+            kf = (v << B) | w
+            kr = ((w ^ 1) << B) | (v ^ 1)
+            keys = jnp.concatenate([kf, kr], axis=1)          # [Gl, 2H]
+            keys = (keys << GB) | jglob[:, None]
+            ok2 = jnp.concatenate([pair_ok, pair_ok], axis=1)
+            keys = jnp.where(ok2, keys, KSENT)
+            d2 = jnp.concatenate([dist, dist], axis=1).astype(I64)
+            s1_2 = jnp.concatenate([s1w, s2w], axis=1)
+            s2_2 = jnp.concatenate([s2w, s1w], axis=1)
+            ga = lambda a: lax.all_gather(a, "g", tiled=True).reshape(-1)
+            keys, d2, s1_2, s2_2 = (ga(keys), ga(d2), ga(s1_2), ga(s2_2))
+            keys, d2, s1_2, s2_2 = lax.sort(
+                (keys, d2, s1_2, s2_2), num_keys=1)
+            N = keys.shape[0]
+            va = keys != KSENT
+            pk = jnp.concatenate([jnp.array([KSENT]), keys[:-1]])
+            in_new = va & (keys != pk)
+            in_id = jnp.clip(jnp.cumsum(in_new.astype(jnp.int32)) - 1,
+                             0, N - 1)
+            cnt_in = jax.ops.segment_sum(va.astype(jnp.int64), in_id,
+                                         num_segments=N)
+            ds_in = jax.ops.segment_sum(jnp.where(va, d2, 0), in_id,
+                                        num_segments=N)
+            s1_in = jax.ops.segment_max(jnp.where(va, s1_2, 0), in_id,
+                                        num_segments=N)
+            s2_in = jax.ops.segment_max(jnp.where(va, s2_2, 0), in_id,
+                                        num_segments=N)
+            dr_in = sf.plus499_trunc(ds_in, jnp.maximum(cnt_in, 1)) \
+                .astype(jnp.int32).astype(I64)
+            vw_row = keys >> GB
+            pvw = jnp.concatenate([jnp.array([KSENT]), vw_row[:-1]])
+            out_new = va & (vw_row != pvw)
+            out_id = jnp.clip(jnp.cumsum(out_new.astype(jnp.int32)) - 1,
+                              0, N - 1)
+            c_row = jnp.where(in_new, cnt_in[in_id], 0)
+            arc_ng_f = jax.ops.segment_sum(in_new.astype(jnp.int32), out_id,
+                                           num_segments=N)
+            arc_tot_f = jax.ops.segment_sum(c_row.astype(jnp.int32), out_id,
+                                            num_segments=N)
+            arc_ds_f = jax.ops.segment_sum(
+                jnp.where(in_new, dr_in[in_id] * cnt_in[in_id], 0),
+                out_id, num_segments=N)
+            arc_s1s_f = jax.ops.segment_sum(
+                jnp.where(in_new, s1_in[in_id], 0), out_id, num_segments=N)
+            arc_s2s_f = jax.ops.segment_sum(
+                jnp.where(in_new, s2_in[in_id], 0), out_id, num_segments=N)
+            arc_vw_f = jax.ops.segment_max(jnp.where(va, vw_row, 0), out_id,
+                                           num_segments=N)
+            n_out = jnp.sum(out_new.astype(jnp.int64))
+            overflow |= n_out > A
+            live = iotaA < n_out
+            arc_vw = jnp.where(live, arc_vw_f[:A], SENT)
+            arc_ng = jnp.where(live, arc_ng_f[:A], 0)
+            arc_tot = jnp.where(live, arc_tot_f[:A], 0)
+            arc_ds = jnp.where(live, arc_ds_f[:A], 0)
+            arc_s1s = jnp.where(live, arc_s1s_f[:A], 0)
+            arc_s2s = jnp.where(live, arc_s2s_f[:A], 0)
+            arc_s1 = jnp.where(
+                live, _plus499_i32(arc_s1s, arc_ng.astype(I64)), 0)
+
+            logs = logs.at[r].set(jnp.stack([
+                n_flt1, n_flt2, n_prop, n_occ, n_deg, n_loci,
+                jnp.sum(alive, dtype=jnp.int64), n_out]))
+            return (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
+                    arc_vw, arc_s1, arc_ng, arc_tot, arc_ds, arc_s1s,
+                    arc_s2s, loci_st, logs, dcap, overflow)
+
+        if cfg.verbose_del:
+            dcap0 = (jnp.zeros((cfg.R, S), jnp.uint8),
+                     jnp.zeros((cfg.R, S, 2), jnp.int32),
+                     jnp.zeros((cfg.R, S, 2), jnp.int32),
+                     jnp.zeros((cfg.R, S), jnp.int32))
+        else:
+            dcap0 = (jnp.zeros((1, 1), jnp.uint8),
+                     jnp.zeros((1, 1, 2), jnp.int32),
+                     jnp.zeros((1, 1, 2), jnp.int32),
+                     jnp.zeros((1, 1), jnp.int32))
+        st0 = (cols["flt"], cols["weak_br"], cols["shadow"], cols["pid_dom"],
+               jnp.ones(S, bool), seg_tot0, seg_ng0, arc0_vw, arc0_s1,
+               jnp.zeros(A, jnp.int32), jnp.zeros(A, jnp.int32),
+               jnp.zeros(A, I64), jnp.zeros(A, I64), jnp.zeros(A, I64),
+               jnp.zeros((S, 2), jnp.int32),
+               jnp.zeros((cfg.R, 8), jnp.int64), dcap0, jnp.asarray(False))
+        st = lax.fori_loop(0, cfg.R, body, st0)
+        (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_s1,
+         arc_ng, arc_tot, arc_ds, arc_s1s, arc_s2s, loci_st, logs, dcap,
+         overflow) = st
+        return (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw,
+                arc_ng, arc_tot, arc_ds, arc_s1s, arc_s2s, loci_st,
+                logs) + dcap + (overflow,)
+
+    in_specs = ({k: gs for k in cols}, gs, gs, gs) + (rep,) * 11
+    out_specs = (gs, gs, gs, gs) + (rep,) * 16
+    return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_rep=False)(
+        cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
+        seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch, do_occ)
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+def graph_gen_device(opt: PgOpt, q) -> bool:
+    """Run phases 2+3 of the schedule on device. Returns True when the
+    results were applied (bit-identical to the host rounds); False when a
+    precondition or capacity check failed and the caller must run the host
+    rounds instead. Assumes phase 1 (gen_vtx + first gen_arc) already ran."""
+    from .. import util
+    from ..graph.graphdata import ArcTable
+
+    d = q.d
+    G = d.n_genome
+    if G == 0 or q.n_seg == 0 or q.n_arc == 0:
+        return False
+    views = _steady_cm_views(d)
+    if views is None:
+        log_msg("pg_device_loop", "cm/cs sort order not in steady cycle; "
+                "falling back to host rounds")
+        return False
+    S = q.n_seg
+    ngene = d.n_gene
+    B = max(int(2 * S - 1).bit_length(), 2)
+    mesh = make_mesh(opt.n_devices)
+    nd = mesh.devices.size
+    Gp = ((G + nd - 1) // nd) * nd
+    GB = max((Gp - 1).bit_length(), 1)
+    if 2 * B + GB > 62:
+        return False
+    H = max(((max((g.n_hit for g in d.genomes), default=1) + 511) // 512)
+            * 512, 512)
+    E = dev.next_pow2(max((len(g.exon_os) for g in d.genomes), default=1))
+    K = dev.next_pow2(max((int(g.hits.n_exon.max(initial=1))
+                           for g in d.genomes), default=1), lo=2)
+    W = 1
+    for g in d.genomes:
+        if g.n_hit:
+            W = max(W, dev.band_width(g.hits.cid, np.asarray(g.hits.cs),
+                                      np.asarray(g.hits.ce)))
+    W = min(dev.next_pow2(W, lo=2), H)
+    A = min(dev.next_pow2(max(2 * q.n_arc, 4096)), Gp * 2 * H)
+    D = 64
+    T = opt.n_branch_flt
+    R = T + 1
+
+    cols, ex_os, ex_oe = stacked.build_stacked(d, H, E)
+    # extra columns the schedule needs beyond the per-round step's set
+    cols["pid"] = np.zeros((G, H), np.int32)
+    cols["pid_dom"] = np.full((G, H), -1, np.int32)
+    ordcm = np.tile(np.arange(H, dtype=np.int32), (G, 1))
+    for j, g in enumerate(d.genomes):
+        n = g.n_hit
+        cols["pid"][j, :n] = g.hits.pid
+        cols["pid_dom"][j, :n] = g.hits.pid_dom
+        ordcm[j, :n] = views[j]
+    if Gp != G:
+        for k in list(cols):
+            pad = np.zeros((Gp - G,) + cols[k].shape[1:], cols[k].dtype)
+            if k == "cid":
+                pad[:] = dev.PAD_CID
+            elif k == "pid_dom":
+                pad[:] = -1
+            cols[k] = np.concatenate([cols[k], pad])
+        ex_os = np.concatenate([ex_os, np.zeros((Gp - G, E), np.int32)])
+        ex_oe = np.concatenate([ex_oe, np.zeros((Gp - G, E), np.int32)])
+        ordcm = np.concatenate(
+            [ordcm, np.tile(np.arange(H, dtype=np.int32), (Gp - G, 1))])
+
+    # arc init from phase 1 (packed to B-bit vertices)
+    a = q.arcs
+    v0 = (a.x >> np.uint64(32)).astype(np.int64)
+    w0 = (a.x & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    arc0_vw = np.full(A, int(SENT), np.int64)
+    arc0_vw[:len(a)] = (v0 << B) | w0
+    arc0_s1 = np.zeros(A, np.int32)
+    arc0_s1[:len(a)] = a.s1
+
+    # per-round thresholds (host IEEE doubles, exact)
+    occ_cut = np.zeros(R, np.int64)
+    deg_cut = np.zeros(R, np.int32)
+    loci_cut = np.zeros(R, np.int32)
+    do_branch = np.zeros(R, bool)
+    do_occ = np.zeros(R, bool)
+    occ_cut[0] = opt.max_avg_occ * 2 * G
+    deg_cut[0] = opt.max_degree * 2
+    loci_cut[0] = opt.max_dist_loci
+    do_occ[0] = True
+    for i in range(T):
+        rr = 1.0 + (T - 1 - i) / T
+        r_ = i + 1
+        do_branch[r_] = True
+        if i > 0:
+            do_occ[r_] = True
+            occ_cut[r_] = int(opt.max_avg_occ * rr + 0.499) * G
+            deg_cut[r_] = int(opt.max_degree * rr + 0.499)
+            loci_cut[r_] = int(opt.max_dist_loci * rr + 0.499)
+
+    cfg = Cfg(H=H, K=K, W=W, S=S, A=A, D=D, B=B, GB=GB, n_gene=ngene, R=R,
+              G_loc=Gp // nd, check_strand=bool(opt.check_strand),
+              use_ori=bool(opt.use_ori_for_branch),
+              frag_mode=bool(opt.frag_mode),
+              min_ov_ratio=float(opt.min_ov_ratio),
+              branch_diff=float(opt.branch_diff),
+              branch_diff_dist=float(opt.branch_diff_dist),
+              branch_diff_cut=float(opt.branch_diff_cut),
+              local_dist=int(opt.local_dist),
+              local_count=int(opt.local_count),
+              verbose_del=util.verbose >= 3)
+
+    import jax.numpy as jnp_
+    dev_cols = {k: jnp_.asarray(v) for k, v in cols.items()}
+    outs = _schedule(
+        dev_cols, jnp_.asarray(ex_os), jnp_.asarray(ex_oe),
+        jnp_.asarray(ordcm), jnp_.asarray(q.seg_gid),
+        jnp_.asarray(q.g2s), jnp_.asarray(arc0_vw), jnp_.asarray(arc0_s1),
+        jnp_.asarray(q.seg_tot_cnt.astype(np.int32)),
+        jnp_.asarray(q.seg_n_genome.astype(np.int32)),
+        jnp_.asarray(occ_cut), jnp_.asarray(deg_cut), jnp_.asarray(loci_cut),
+        jnp_.asarray(do_branch), jnp_.asarray(do_occ), cfg=cfg, mesh=mesh)
+    host = [np.asarray(o) for o in jax.device_get(outs)]
+    (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_ng,
+     arc_tot, arc_ds, arc_s1s, arc_s2s, loci_fin, logs,
+     dmask, ddeg, dloci, dtot, overflow) = host
+    if bool(overflow):
+        log_msg("pg_device_loop", "capacity overflow (arcs or branch "
+                "window); falling back to host rounds")
+        return False
+
+    _emit_round_logs(opt, q, logs, dmask, ddeg, dloci, dtot, R)
+
+    # apply hit state
+    for j, g in enumerate(d.genomes):
+        h = g.hits
+        n = g.n_hit
+        h.set("flt", flt[j, :n].astype(np.uint8))
+        h.set("weak_br", weak[j, :n].astype(np.uint8))
+        h.set("shadow", shadow[j, :n].astype(np.uint8))
+        h.set("pid_dom", pid_dom[j, :n].astype(np.int32))
+    # segment compaction (the reference hard-deleted each round; ids are
+    # order-preserving so one final compaction is identical)
+    keep = alive.astype(bool)
+    q.seg_gid = q.seg_gid[keep]
+    q.seg_n_dom = q.seg_n_dom[keep]
+    q.seg_n_sub = q.seg_n_sub[keep]
+    q.seg_n_genome = seg_ng[keep].astype(np.int32)
+    q.seg_tot_cnt = seg_tot[keep].astype(np.int32)
+    q.seg_n_dist_loci = loci_fin[keep].astype(np.int32)
+    q.seg_del = np.zeros(int(keep.sum()), np.uint8)
+    q.gen_g2s()
+    q.flag_vtx()
+    # rebuild the arc table with original->compacted id remap
+    na = int((arc_vw != int(SENT)).sum())
+    vw = arc_vw[:na]
+    remap = np.cumsum(keep) - 1
+    v = vw >> B
+    w = vw & ((1 << B) - 1)
+    newv = (remap[(v >> 1)] << 1) | (v & 1)
+    neww = (remap[(w >> 1)] << 1) | (w & 1)
+    out = ArcTable.empty(na)
+    out.x = (newv.astype(np.uint64) << np.uint64(32)) | neww.astype(np.uint64)
+    out.n_genome = arc_ng[:na].astype(np.int32)
+    out.tot_cnt = arc_tot[:na].astype(np.int32)
+    ngs = arc_ng[:na].astype(np.float64)
+    out.avg_dist = (arc_ds[:na].astype(np.float64)
+                    / np.maximum(arc_tot[:na], 1) + 0.499).astype(np.int64) \
+        .astype(np.int32)
+    out.s1 = (arc_s1s[:na].astype(np.float64) / ngs + 0.499) \
+        .astype(np.int64).astype(np.int32)
+    out.s2 = (arc_s2s[:na].astype(np.float64) / ngs + 0.499) \
+        .astype(np.int64).astype(np.int32)
+    q.arcs = out
+    return True
+
+
+def _emit_round_logs(opt, q, logs, dmask, ddeg, dloci, dtot, R) -> None:
+    """Replay the reference's per-round stderr messages from the pulled
+    counters (content-exact; timestamps are emission-time)."""
+    import sys
+    from .. import util
+    d = q.d
+    for r in range(R):
+        n1, n2, nprop, nocc, ndeg, nloci, nseg, narc = (int(x) for x in logs[r])
+        if r >= 1:
+            log_msg("pg_mark_branch_flt_arc",
+                    "marked %d locally diverged branches and %d distantly "
+                    "diverged branches", n1, n2)
+            log_msg("pg_mark_branch_flt_hit", "marked %d diverged hits",
+                    nprop)
+        if r == 0 or r >= 2:
+            log_msg("pg_flt_high_occ",
+                    "filtered %d high-occurrence segments, %d high-degree "
+                    "segments and %d segments connecting distant loci",
+                    nocc, ndeg, nloci)
+            if util.verbose >= 3 and dmask.shape[0] == R:
+                for i in np.flatnonzero(dmask[r]):
+                    s_occ = dtot[r, i] / d.n_genome
+                    if r >= 2:
+                        sys.stderr.write(
+                            "#del\t%s\tavg_occ=%.1f\tdeg=%d,%d\t"
+                            "dist_deg=%d,%d\n" % (
+                                d.gene_name[q.seg_gid[i]], s_occ,
+                                ddeg[r, i, 0], ddeg[r, i, 1],
+                                dloci[r, i, 0], dloci[r, i, 1]))
+                    else:
+                        sys.stderr.write(
+                            "#del\t%s\tavg_occ=%.1f\tdeg=*,*\t"
+                            "dist_deg=%d,%d\n" % (
+                                d.gene_name[q.seg_gid[i]], s_occ,
+                                dloci[r, i, 0], dloci[r, i, 1]))
+        if r == 0:
+            log_msg("pg_graph_gen", "round-2 graph: %d genes and %d arcs",
+                    nseg, narc)

@@ -52,7 +52,7 @@ def _gather_exons(off, n_ex, cs, ex_os, ex_oe, K: int):
 
 
 def _genome_round(cols: Dict[str, jnp.ndarray], ex_os, ex_oe, g2s,
-                  min_ov_ratio, *, W: int, K: int, check_strand: bool,
+                  *, min_ov_ratio: float, W: int, K: int, check_strand: bool,
                   use_ori: bool, n_gene: int):
     H = cols["cid"].shape[0]
     valid = cols["valid"]
@@ -67,7 +67,7 @@ def _genome_round(cols: Dict[str, jnp.ndarray], ex_os, ex_oe, g2s,
         rank=cols["rank"], gid=cols["gid"], pscore=cols["pscore"],
         weak_br=cols["weak_br"].astype(jnp.int32), cds_len=cols["cds_len"],
         ex_os=abs_os, ex_oe=abs_oe)
-    marks, b_score, b_other, b_ov, amb = dev.shadow_kernel(
+    marks, b_score, b_other, b_ov = dev.shadow_kernel(
         sc, min_ov_ratio, W=W, check_strand=check_strand)
     nonflt = cols["flt"] == 0
     evaluated = nonflt & (iota >= 1) & valid
@@ -139,7 +139,7 @@ def _genome_round(cols: Dict[str, jnp.ndarray], ex_os, ex_oe, g2s,
     cnts = jnp.zeros(n_gene, jnp.int32).at[sidc].add(
         kept.astype(jnp.int32), mode="drop")
 
-    return (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2, cnts, amb)
+    return (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2, cnts)
 
 
 # ---------------------------------------------------------------------------
@@ -147,38 +147,37 @@ def _genome_round(cols: Dict[str, jnp.ndarray], ex_os, ex_oe, g2s,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("W", "K", "check_strand", "use_ori",
-                                    "n_gene", "mesh"))
-def round_step(cols, ex_os, ex_oe, g2s, min_ov_ratio, *, W, K, check_strand,
+                   static_argnames=("min_ov_ratio", "W", "K", "check_strand",
+                                    "use_ori", "n_gene", "mesh"))
+def round_step(cols, ex_os, ex_oe, g2s, *, min_ov_ratio, W, K, check_strand,
                use_ori, n_gene, mesh):
     """One graph-round device step over all genomes: [G, ...] sharded on 'g'."""
-    def per_shard(cols_l, ex_os_l, ex_oe_l, g2s_r, ratio_r):
-        fn = functools.partial(_genome_round, W=W, K=K,
-                               check_strand=check_strand, use_ori=use_ori,
-                               n_gene=n_gene)
-        outs = jax.vmap(lambda c, eo, ee: fn(c, eo, ee, g2s_r, ratio_r)
+    def per_shard(cols_l, ex_os_l, ex_oe_l, g2s_r):
+        fn = functools.partial(_genome_round, min_ov_ratio=min_ov_ratio,
+                               W=W, K=K, check_strand=check_strand,
+                               use_ori=use_ori, n_gene=n_gene)
+        outs = jax.vmap(lambda c, eo, ee: fn(c, eo, ee, g2s_r)
                         )(cols_l, ex_os_l, ex_oe_l)
-        (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2, cnts, amb) = outs
+        (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2, cnts) = outs
         tot_cnt = lax.psum(cnts.sum(0), "g")
         n_genome = lax.psum((cnts > 0).astype(jnp.int32).sum(0), "g")
-        amb_any = lax.psum(amb.any().astype(jnp.int32), "g")
         return (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2,
-                tot_cnt, n_genome, amb_any)
+                tot_cnt, n_genome)
 
     gs = P("g")
     rep = P()
     outs = shard_map(
         per_shard, mesh=mesh,
-        in_specs=({k: gs for k in cols}, gs, gs, rep, rep),
-        out_specs=(gs, gs, gs, gs, gs, gs, gs, gs, rep, rep, rep),
+        in_specs=({k: gs for k in cols}, gs, gs, rep),
+        out_specs=(gs, gs, gs, gs, gs, gs, gs, gs, rep, rep),
         check_rep=False,
-    )(cols, ex_os, ex_oe, g2s, min_ov_ratio)
+    )(cols, ex_os, ex_oe, g2s)
     # pack per-genome outputs into ONE int64 plane and the replicated
     # reductions into one vector: device->host pulls are latency-bound
     # (~100ms each through the axon tunnel), so the round must cost two
     # transfers, not eleven
     (shadow, b_score, b_other, uniq_x, cnt, dsum, m1, m2,
-     tot_cnt, n_genome, amb_any) = outs
+     tot_cnt, n_genome) = outs
     big = jnp.concatenate([
         shadow.astype(jnp.int64),
         b_score.view(jnp.int64) if b_score.dtype == jnp.uint64
@@ -190,8 +189,7 @@ def round_step(cols, ex_os, ex_oe, g2s, min_ov_ratio, *, W, K, check_strand,
         m1.astype(jnp.int64), m2.astype(jnp.int64)], axis=1)
     small = jnp.concatenate([
         tot_cnt.astype(jnp.int64).ravel(),
-        n_genome.astype(jnp.int64).ravel(),
-        jnp.asarray(amb_any, jnp.int64).reshape(1)])
+        n_genome.astype(jnp.int64).ravel()])
     return big, small
 
 
@@ -320,17 +318,16 @@ def gen_arc_sharded(opt: PgOpt, q) -> None:
     cols_dev.update({k: jnp.asarray(v) for k, v in mut.items()})
 
     big_dev, small_dev = round_step(
-        cols_dev, ex_os_dev, ex_oe_dev,
-        jnp.asarray(q.g2s), jnp.float64(opt.min_ov_ratio),
+        cols_dev, ex_os_dev, ex_oe_dev, jnp.asarray(q.g2s),
+        min_ov_ratio=float(opt.min_ov_ratio),
         W=W, K=K, check_strand=opt.check_strand,
         use_ori=opt.use_ori_for_branch, n_gene=d.n_gene,
         mesh=mesh)
     big = np.asarray(big_dev)        # ONE [G, 13H] pull
-    small = np.asarray(small_dev)    # reductions + ambiguity flag
+    small = np.asarray(small_dev)    # psum'd seg counters
     ng = d.n_gene
     tot_cnt = small[:ng]
     n_genome = small[ng:2 * ng]
-    amb_any = small[-1]
     # abort-on-desync validation of the psum'd reductions (SURVEY §5): a
     # shard disagreeing on topology would corrupt these silently otherwise
     if len(n_genome) and (int(n_genome.max(initial=0)) > G
@@ -349,10 +346,6 @@ def gen_arc_sharded(opt: PgOpt, q) -> None:
     dsum = big[:, o:o + A]; o += A
     m1 = big[:, o:o + A].astype(np.int32); o += A
     m2 = big[:, o:o + A].astype(np.int32); o += A
-
-    if int(amb_any) > 0:  # float-predicate ambiguity: exact host fallback
-        arcs_host.gen_arc_loop(opt, q)
-        return
 
     # apply per-genome results to host tables + the same physical re-sorts
     per_genome = []

@@ -1,0 +1,98 @@
+"""Device-resident schedule (parallel/device_loop.py) equivalence tests.
+
+The whole phase-2+3 round loop — branch marking, weak propagation, annealed
+high-occ filtering, arc regeneration with the two-level exact merge — runs
+as ONE jitted program over the 8-virtual-device CPU mesh and must produce
+byte-identical GFA to the host engine for every option set. The softfloat
+predicates make this exact by construction; these tests are the
+end-to-end proof.
+"""
+import io
+import os
+
+import pytest
+
+from pangene_tpu import pipeline, util
+from pangene_tpu.options import (PG_F_CHECK_STRAND, PG_F_FRAG_MODE,
+                                 PG_F_ORI_FOR_BRANCH, PgOpt)
+from pangene_tpu.testing import synth_paf_files
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("devloop")
+    synth_paf_files(str(d), n_genome=10, n_gene=250, n_iso=3, seed=17)
+    return sorted(str(p) for p in d.iterdir() if str(p).endswith(".paf.gz"))
+
+
+def run(files, engine, **kw):
+    util.verbose = 0
+    opt = PgOpt(engine=engine)
+    for k, v in kw.items():
+        setattr(opt, k, v)
+    out = io.StringIO()
+    pipeline.run(opt, files, out=out)
+    return out.getvalue()
+
+
+def test_c4_devloop_bit_identical(c4_pafs, golden_dir):
+    got = run(c4_pafs, "sharded")
+    assert got == (golden_dir / "C4.gfa").read_text()
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"min_ov_ratio": 0.3},
+    {"max_avg_occ": 2, "max_degree": 4, "max_dist_loci": 1},
+    {"branch_diff": 0.001, "branch_diff_cut": 0.1, "branch_diff_dist": 0.01},
+    {"min_arc_cnt": 2},
+    {"n_branch_flt": 3},
+    {"local_dist": 100000, "local_count": 2},
+])
+def test_devloop_matches_host(corpus, kw):
+    assert run(corpus, "sharded", **kw) == run(corpus, "host", **kw)
+
+
+@pytest.mark.parametrize("flag", [PG_F_CHECK_STRAND, PG_F_ORI_FOR_BRANCH,
+                                  PG_F_FRAG_MODE])
+def test_devloop_matches_host_flags(corpus, flag):
+    kw = {"flag": PgOpt().flag | flag}
+    assert run(corpus, "sharded", **kw) == run(corpus, "host", **kw)
+
+
+def test_devloop_disabled_env_fallback(corpus, monkeypatch):
+    """PANGENE_DEVICE_LOOP=0 forces the per-round sharded path; output is
+    still byte-identical (shard-count independence of the exact merge)."""
+    monkeypatch.setenv("PANGENE_DEVICE_LOOP", "0")
+    assert run(corpus, "sharded") == run(corpus, "host")
+
+
+def test_devloop_verbose_del_logs(corpus, capsys):
+    """verbose>=3 replays the #del lines and per-round counters from the
+    pulled capture; content must equal the host path's stderr lines."""
+    import re
+    import sys
+
+    def stderr_of(engine):
+        util.verbose = 3
+        opt = PgOpt(engine=engine, max_avg_occ=2, max_degree=4)
+        out = io.StringIO()
+        err = io.StringIO()
+        old = sys.stderr
+        sys.stderr = err
+        try:
+            pipeline.run(opt, corpus, out=out)
+        finally:
+            sys.stderr = old
+            util.verbose = 0
+        keep = [l for l in err.getvalue().splitlines()
+                if l.startswith("#del") or "marked" in l or "filtered" in l
+                or "round-" in l]
+        # strip wall-clock timestamps
+        return [re.sub(r"::[0-9.]+\*[0-9.]+", "", l) for l in keep], \
+            out.getvalue()
+
+    host_lines, host_out = stderr_of("host")
+    dev_lines, dev_out = stderr_of("sharded")
+    assert dev_out == host_out
+    assert dev_lines == host_lines

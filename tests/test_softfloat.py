@@ -91,9 +91,8 @@ def test_branch_deficit_predicate():
             tgt = np.round((1.0 - c) * mxs).astype(np.int64)
             s1[lo:hi] = np.clip(tgt + rng.integers(-1, 2, hi - lo), 0, mxs)
     m, k = jax.jit(sf.one_minus_div)(jnp.asarray(s1), jnp.asarray(mx))
-    for c in consts:
-        cm, ck = sf.decompose(c)
-        got = np.asarray(jax.jit(lambda m, k: sf.gt_const(m, k, cm, ck))(m, k))
+    for c in consts + [-0.5, 0.0]:
+        got = np.asarray(jax.jit(lambda m, k: sf.gt_const(m, k, c))(m, k))
         want = np.asarray([(1.0 - int(a) / int(b)) > c
                            for a, b in zip(s1, mx)])
         bad = np.flatnonzero(got != want)
@@ -113,9 +112,8 @@ def test_cov_lt_predicate():
         tgt = np.round(c * l[lo:hi]).astype(np.int64)
         ov[lo:hi] = np.clip(tgt + rng.integers(-1, 2, hi - lo), 0, l[lo:hi])
     m, k = jax.jit(sf.div_rn)(jnp.asarray(ov), jnp.asarray(l))
-    for c in (0.5, 0.05, 0.3, 0.9999999, 1e-12):
-        cm, ck = sf.decompose(c)
-        got = np.asarray(jax.jit(lambda m, k: sf.lt_const(m, k, cm, ck))(m, k))
+    for c in (0.5, 0.05, 0.3, 0.9999999, 1e-12, 0.0, -1.0):
+        got = np.asarray(jax.jit(lambda m, k: sf.lt_const(m, k, c))(m, k))
         want = np.asarray([(int(a) / int(b)) < c for a, b in zip(ov, l)])
         assert np.array_equal(got, want), c
 
