@@ -57,6 +57,14 @@ SENT = jnp.int64((1 << 62) - 1)          # empty arc-table slot
 KSENT = jnp.int64((1 << 62))             # merge-sort key for invalid rows
 
 
+# packed upload layout: the tunnel charges ~170ms latency per transfer, so
+# the per-hit columns ship as FOUR stacked arrays instead of twenty
+PACK_I32 = ("cid", "rank", "gid", "dom_gid", "score_ori", "score_dom",
+            "cds_len", "n_exon", "off_exon", "pid", "pid_dom", "ordcm")
+PACK_I64 = ("cs", "ce", "cm", "pscore")
+PACK_U8 = ("flt", "shadow", "weak_br", "valid", "rev")
+
+
 class Cfg(NamedTuple):
     """Static compile-time configuration of the device schedule."""
     H: int          # hit capacity per genome
@@ -114,15 +122,23 @@ def _steady_cm_views(d):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
-def _schedule(cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
-              seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch,
-              do_occ, *, cfg: Cfg, mesh):
+def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
+              arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut,
+              do_branch, do_occ, *, cfg: Cfg, mesh):
     gs = P("g")
     rep = P()
 
-    def per_shard(cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
-                  seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch,
-                  do_occ):
+    def per_shard(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of,
+                  arc0_vw, arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut,
+                  loci_cut, do_branch, do_occ):
+        cols = {n: blk_i32[:, :, i] for i, n in enumerate(PACK_I32)}
+        cols.update({n: blk_i64[:, :, i] for i, n in enumerate(PACK_I64)})
+        cols.update({n: blk_u8[:, :, i] for i, n in enumerate(PACK_U8)})
+        cols["pscore"] = cols["pscore"].astype(jnp.uint64)
+        cols["valid"] = cols["valid"] != 0
+        ordcm = cols.pop("ordcm")
+        exo = blk_ex[:, :, 0]
+        exe = blk_ex[:, :, 1]
         Gl, H = cols["cid"].shape
         S, A, D, B, GB = cfg.S, cfg.A, cfg.D, cfg.B, cfg.GB
         ng = cfg.n_gene
@@ -172,14 +188,99 @@ def _schedule(cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
                 & alive[jnp.clip(dsid_cm, 0, S - 1)]
             use_ori_vec = (cfg.use_ori | (so_cm > sd_cm) | (dg_cm < 0)
                            | dom_alive)
-            sc = jnp.where(use_ori_vec, so_cm, sd_cm).astype(jnp.int64)
+            sc = jnp.where(use_ori_vec, so_cm, sd_cm)
             return kept, pair_ok, prev, v, w, dist, take(sc), sc
+
+        rowsG = jnp.arange(Gl)[:, None]
+
+        def walk_merge(flt_b, shadow_b, alive, full: bool):
+            """Walk + two-level merge (graph.c:87-177) from ONE global sort
+            of (vw, genome) keys. full=False (in-loop) computes only what
+            the rounds consume (group structure + the exact s1 average);
+            full=True (after the loop) adds the output-only stats
+            (tot_cnt, dist and s2 averages)."""
+            kept, pair_ok, prev, v, w, dist, s1w, s2w = kept_pairs(
+                flt_b, shadow_b, alive)
+            sidc = jnp.clip(sid_cm, 0, S - 1)
+            cnts = jnp.zeros((Gl, S), jnp.int32).at[rowsG, sidc].add(
+                kept.astype(jnp.int32), mode="drop")
+            seg_tot = lax.psum(cnts.sum(0, dtype=jnp.int32), "g")
+            seg_ng = lax.psum((cnts > 0).sum(0, dtype=jnp.int32), "g")
+
+            kf = (v << B) | w
+            kr = ((w ^ 1) << B) | (v ^ 1)
+            keys = jnp.concatenate([kf, kr], axis=1)          # [Gl, 2H]
+            keys = (keys << GB) | jglob[:, None]
+            ok2 = jnp.concatenate([pair_ok, pair_ok], axis=1)
+            keys = jnp.where(ok2, keys, KSENT)
+            s1_2 = jnp.concatenate([s1w, s2w], axis=1)
+            ga = lambda a: lax.all_gather(a, "g", tiled=True).reshape(-1)
+            if full:
+                d2 = jnp.concatenate([dist, dist], axis=1)
+                s2_2 = jnp.concatenate([s2w, s1w], axis=1)
+                keys, d2, s1_2, s2_2 = lax.sort(
+                    (ga(keys), ga(d2), ga(s1_2), ga(s2_2)), num_keys=1)
+            else:
+                keys, s1_2 = lax.sort((ga(keys), ga(s1_2)), num_keys=1)
+            N = keys.shape[0]
+            va = keys != KSENT
+            pk = jnp.concatenate([jnp.array([KSENT]), keys[:-1]])
+            in_new = va & (keys != pk)
+            in_id = jnp.clip(jnp.cumsum(in_new.astype(jnp.int32)) - 1,
+                             0, N - 1)
+            s1_in = jax.ops.segment_max(jnp.where(va, s1_2, 0), in_id,
+                                        num_segments=N)
+            vw_row = keys >> GB
+            pvw = jnp.concatenate([jnp.array([KSENT]), vw_row[:-1]])
+            out_new = va & (vw_row != pvw)
+            out_id = jnp.clip(jnp.cumsum(out_new.astype(jnp.int32)) - 1,
+                              0, N - 1)
+            ng_f = jax.ops.segment_sum(in_new.astype(jnp.int32), out_id,
+                                       num_segments=N)
+            s1s_f = jax.ops.segment_sum(
+                jnp.where(in_new, s1_in[in_id].astype(I64), 0), out_id,
+                num_segments=N)
+            vw_f = jax.ops.segment_max(jnp.where(va, vw_row, 0), out_id,
+                                       num_segments=N)
+            n_out = jnp.sum(out_new.astype(jnp.int64))
+            live = iotaA < n_out
+            arc_vw = jnp.where(live, vw_f[:A], SENT)
+            arc_ng = jnp.where(live, ng_f[:A], 0)
+            arc_s1s = jnp.where(live, s1s_f[:A], 0)
+            arc_s1 = jnp.where(
+                live, _plus499_i32(arc_s1s, arc_ng.astype(I64)), 0)
+            lean = (arc_vw, arc_s1, n_out, seg_tot, seg_ng)
+            if not full:
+                return lean
+            cnt_in = jax.ops.segment_sum(va.astype(jnp.int64), in_id,
+                                         num_segments=N)
+            ds_in = jax.ops.segment_sum(
+                jnp.where(va, d2.astype(I64), 0), in_id, num_segments=N)
+            dr_in = sf.plus499_trunc(ds_in, jnp.maximum(cnt_in, 1))
+            s2_in = jax.ops.segment_max(jnp.where(va, s2_2, 0), in_id,
+                                        num_segments=N)
+            tot_f = jax.ops.segment_sum(
+                jnp.where(in_new, cnt_in[in_id], 0).astype(jnp.int32),
+                out_id, num_segments=N)
+            ds_f = jax.ops.segment_sum(
+                jnp.where(in_new, dr_in[in_id] * cnt_in[in_id], 0),
+                out_id, num_segments=N)
+            s2s_f = jax.ops.segment_sum(
+                jnp.where(in_new, s2_in[in_id].astype(I64), 0), out_id,
+                num_segments=N)
+            arc_tot = jnp.where(live, tot_f[:A], 0)
+            # exact output averages (graph.c:170-172) via softfloat
+            arc_ad = jnp.where(live, sf.plus499_trunc(
+                jnp.where(live, ds_f[:A], 0),
+                jnp.maximum(arc_tot, 1).astype(I64)), 0).astype(jnp.int32)
+            arc_s2 = jnp.where(live, _plus499_i32(
+                jnp.where(live, s2s_f[:A], 0), arc_ng.astype(I64)), 0)
+            return lean + (arc_ng, arc_tot, arc_ad, arc_s2)
 
         # ---- round body ----
         def body(r, st):
             (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
-             arc_vw, arc_s1, arc_ng, arc_tot, arc_ds, arc_s1s, arc_s2s,
-             loci_st, logs, dcap, overflow) = st
+             arc_vw, arc_s1, loci_st, logs, dcap, overflow) = st
 
             # ===== branch marking on the previous round's arcs =====
             valid_a = arc_vw != SENT
@@ -376,82 +477,17 @@ def _schedule(cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
             pid_dom = jnp.where(nonflt, -1, pid_dom)
             pid_dom = jnp.where(has_dom, pid_o, pid_dom).astype(jnp.int32)
 
-            # walk + per-genome seg counters
-            kept, pair_ok, prev, v, w, dist, s1w, s2w = kept_pairs(
-                flt != 0, shadow != 0, alive)
-            sidc = jnp.clip(sid_cm, 0, S - 1)
-            cnts = jnp.zeros((Gl, S), jnp.int32).at[rows, sidc].add(
-                kept.astype(jnp.int32), mode="drop")
-            seg_tot = lax.psum(cnts.sum(0, dtype=jnp.int32), "g")
-            seg_ng = lax.psum((cnts > 0).sum(0, dtype=jnp.int32), "g")
-
-            # two-level merge from ONE global sort of (vw, genome) keys
-            kf = (v << B) | w
-            kr = ((w ^ 1) << B) | (v ^ 1)
-            keys = jnp.concatenate([kf, kr], axis=1)          # [Gl, 2H]
-            keys = (keys << GB) | jglob[:, None]
-            ok2 = jnp.concatenate([pair_ok, pair_ok], axis=1)
-            keys = jnp.where(ok2, keys, KSENT)
-            d2 = jnp.concatenate([dist, dist], axis=1).astype(I64)
-            s1_2 = jnp.concatenate([s1w, s2w], axis=1)
-            s2_2 = jnp.concatenate([s2w, s1w], axis=1)
-            ga = lambda a: lax.all_gather(a, "g", tiled=True).reshape(-1)
-            keys, d2, s1_2, s2_2 = (ga(keys), ga(d2), ga(s1_2), ga(s2_2))
-            keys, d2, s1_2, s2_2 = lax.sort(
-                (keys, d2, s1_2, s2_2), num_keys=1)
-            N = keys.shape[0]
-            va = keys != KSENT
-            pk = jnp.concatenate([jnp.array([KSENT]), keys[:-1]])
-            in_new = va & (keys != pk)
-            in_id = jnp.clip(jnp.cumsum(in_new.astype(jnp.int32)) - 1,
-                             0, N - 1)
-            cnt_in = jax.ops.segment_sum(va.astype(jnp.int64), in_id,
-                                         num_segments=N)
-            ds_in = jax.ops.segment_sum(jnp.where(va, d2, 0), in_id,
-                                        num_segments=N)
-            s1_in = jax.ops.segment_max(jnp.where(va, s1_2, 0), in_id,
-                                        num_segments=N)
-            s2_in = jax.ops.segment_max(jnp.where(va, s2_2, 0), in_id,
-                                        num_segments=N)
-            dr_in = sf.plus499_trunc(ds_in, jnp.maximum(cnt_in, 1)) \
-                .astype(jnp.int32).astype(I64)
-            vw_row = keys >> GB
-            pvw = jnp.concatenate([jnp.array([KSENT]), vw_row[:-1]])
-            out_new = va & (vw_row != pvw)
-            out_id = jnp.clip(jnp.cumsum(out_new.astype(jnp.int32)) - 1,
-                              0, N - 1)
-            c_row = jnp.where(in_new, cnt_in[in_id], 0)
-            arc_ng_f = jax.ops.segment_sum(in_new.astype(jnp.int32), out_id,
-                                           num_segments=N)
-            arc_tot_f = jax.ops.segment_sum(c_row.astype(jnp.int32), out_id,
-                                            num_segments=N)
-            arc_ds_f = jax.ops.segment_sum(
-                jnp.where(in_new, dr_in[in_id] * cnt_in[in_id], 0),
-                out_id, num_segments=N)
-            arc_s1s_f = jax.ops.segment_sum(
-                jnp.where(in_new, s1_in[in_id], 0), out_id, num_segments=N)
-            arc_s2s_f = jax.ops.segment_sum(
-                jnp.where(in_new, s2_in[in_id], 0), out_id, num_segments=N)
-            arc_vw_f = jax.ops.segment_max(jnp.where(va, vw_row, 0), out_id,
-                                           num_segments=N)
-            n_out = jnp.sum(out_new.astype(jnp.int64))
+            # walk + lean merge (the rounds only consume group structure,
+            # the exact s1 average and the seg counters)
+            arc_vw, arc_s1, n_out, seg_tot, seg_ng = walk_merge(
+                flt != 0, shadow != 0, alive, full=False)
             overflow |= n_out > A
-            live = iotaA < n_out
-            arc_vw = jnp.where(live, arc_vw_f[:A], SENT)
-            arc_ng = jnp.where(live, arc_ng_f[:A], 0)
-            arc_tot = jnp.where(live, arc_tot_f[:A], 0)
-            arc_ds = jnp.where(live, arc_ds_f[:A], 0)
-            arc_s1s = jnp.where(live, arc_s1s_f[:A], 0)
-            arc_s2s = jnp.where(live, arc_s2s_f[:A], 0)
-            arc_s1 = jnp.where(
-                live, _plus499_i32(arc_s1s, arc_ng.astype(I64)), 0)
 
             logs = logs.at[r].set(jnp.stack([
                 n_flt1, n_flt2, n_prop, n_occ, n_deg, n_loci,
                 jnp.sum(alive, dtype=jnp.int64), n_out]))
             return (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
-                    arc_vw, arc_s1, arc_ng, arc_tot, arc_ds, arc_s1s,
-                    arc_s2s, loci_st, logs, dcap, overflow)
+                    arc_vw, arc_s1, loci_st, logs, dcap, overflow)
 
         if cfg.verbose_del:
             dcap0 = (jnp.zeros((cfg.R, S), jnp.uint8),
@@ -465,23 +501,25 @@ def _schedule(cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
                      jnp.zeros((1, 1), jnp.int32))
         st0 = (cols["flt"], cols["weak_br"], cols["shadow"], cols["pid_dom"],
                jnp.ones(S, bool), seg_tot0, seg_ng0, arc0_vw, arc0_s1,
-               jnp.zeros(A, jnp.int32), jnp.zeros(A, jnp.int32),
-               jnp.zeros(A, I64), jnp.zeros(A, I64), jnp.zeros(A, I64),
                jnp.zeros((S, 2), jnp.int32),
                jnp.zeros((cfg.R, 8), jnp.int64), dcap0, jnp.asarray(False))
         st = lax.fori_loop(0, cfg.R, body, st0)
         (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_s1,
-         arc_ng, arc_tot, arc_ds, arc_s1s, arc_s2s, loci_st, logs, dcap,
-         overflow) = st
+         loci_st, logs, dcap, overflow) = st
+        # recompute the final arc table WITH its output-only stats from the
+        # final state (identical kept pairs -> identical groups); all
+        # averages are rounded exactly on device (softfloat)
+        (arc_vw, arc_s1, n_out, seg_tot, seg_ng, arc_ng, arc_tot, arc_ad,
+         arc_s2) = walk_merge(flt != 0, shadow != 0, alive, full=True)
         return (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw,
-                arc_ng, arc_tot, arc_ds, arc_s1s, arc_s2s, loci_st,
+                arc_s1, arc_ng, arc_tot, arc_ad, arc_s2, loci_st,
                 logs) + dcap + (overflow,)
 
-    in_specs = ({k: gs for k in cols}, gs, gs, gs) + (rep,) * 11
+    in_specs = (gs, gs, gs, gs) + (rep,) * 11
     out_specs = (gs, gs, gs, gs) + (rep,) * 16
     return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_rep=False)(
-        cols, exo, exe, ordcm, seg_gid, sid_of, arc0_vw, arc0_s1,
+        blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw, arc0_s1,
         seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch, do_occ)
 
 
@@ -526,7 +564,10 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
             W = max(W, dev.band_width(g.hits.cid, np.asarray(g.hits.cs),
                                       np.asarray(g.hits.ce)))
     W = min(dev.next_pow2(W, lo=2), H)
-    A = min(dev.next_pow2(max(2 * q.n_arc, 4096)), Gp * 2 * H)
+    # 25% headroom over the phase-1 arc count, bucketed to 4096 for
+    # compile-cache reuse; overflow falls back to the host rounds
+    A = ((q.n_arc + q.n_arc // 4 + 4095) // 4096 + 1) * 4096
+    A = min(max(A, 4096), Gp * 2 * H)
     D = 64
     T = opt.n_branch_flt
     R = T + 1
@@ -595,19 +636,27 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
               local_count=int(opt.local_count),
               verbose_del=util.verbose >= 3)
 
-    import jax.numpy as jnp_
-    dev_cols = {k: jnp_.asarray(v) for k, v in cols.items()}
+    from .mesh import pull_global, put_sharded
+    cols["ordcm"] = ordcm
+    blk_i32 = np.stack([cols[n].astype(np.int32) for n in PACK_I32], axis=2)
+    blk_i64 = np.stack([cols[n].view(np.int64) if n == "pscore"
+                        else cols[n].astype(np.int64) for n in PACK_I64],
+                       axis=2)
+    blk_u8 = np.stack([cols[n].astype(np.uint8) for n in PACK_U8], axis=2)
+    blk_ex = np.stack([ex_os, ex_oe], axis=2)
     outs = _schedule(
-        dev_cols, jnp_.asarray(ex_os), jnp_.asarray(ex_oe),
-        jnp_.asarray(ordcm), jnp_.asarray(q.seg_gid),
-        jnp_.asarray(q.g2s), jnp_.asarray(arc0_vw), jnp_.asarray(arc0_s1),
-        jnp_.asarray(q.seg_tot_cnt.astype(np.int32)),
-        jnp_.asarray(q.seg_n_genome.astype(np.int32)),
-        jnp_.asarray(occ_cut), jnp_.asarray(deg_cut), jnp_.asarray(loci_cut),
-        jnp_.asarray(do_branch), jnp_.asarray(do_occ), cfg=cfg, mesh=mesh)
-    host = [np.asarray(o) for o in jax.device_get(outs)]
-    (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_ng,
-     arc_tot, arc_ds, arc_s1s, arc_s2s, loci_fin, logs,
+        put_sharded(blk_i32, mesh), put_sharded(blk_i64, mesh),
+        put_sharded(blk_u8, mesh), put_sharded(blk_ex, mesh), q.seg_gid,
+        q.g2s, arc0_vw, arc0_s1,
+        q.seg_tot_cnt.astype(np.int32),
+        q.seg_n_genome.astype(np.int32),
+        occ_cut, deg_cut, loci_cut,
+        do_branch, do_occ, cfg=cfg, mesh=mesh)
+    # first four outputs are genome-sharded; the rest replicated
+    host = [pull_global(o) for o in outs[:4]] \
+        + [np.asarray(o) for o in outs[4:]]
+    (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_s1,
+     arc_ng, arc_tot, arc_ad, arc_s2, loci_fin, logs,
      dmask, ddeg, dloci, dtot, overflow) = host
     if bool(overflow):
         log_msg("pg_device_loop", "capacity overflow (arcs or branch "
@@ -648,14 +697,10 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     out.x = (newv.astype(np.uint64) << np.uint64(32)) | neww.astype(np.uint64)
     out.n_genome = arc_ng[:na].astype(np.int32)
     out.tot_cnt = arc_tot[:na].astype(np.int32)
-    ngs = arc_ng[:na].astype(np.float64)
-    out.avg_dist = (arc_ds[:na].astype(np.float64)
-                    / np.maximum(arc_tot[:na], 1) + 0.499).astype(np.int64) \
-        .astype(np.int32)
-    out.s1 = (arc_s1s[:na].astype(np.float64) / ngs + 0.499) \
-        .astype(np.int64).astype(np.int32)
-    out.s2 = (arc_s2s[:na].astype(np.float64) / ngs + 0.499) \
-        .astype(np.int64).astype(np.int32)
+    # averages already rounded exactly on device (softfloat +.499)
+    out.avg_dist = arc_ad[:na].astype(np.int32)
+    out.s1 = arc_s1[:na].astype(np.int32)
+    out.s2 = arc_s2[:na].astype(np.int32)
     q.arcs = out
     return True
 

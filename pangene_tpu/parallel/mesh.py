@@ -56,3 +56,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def pad_genomes(G: int, mesh: Mesh) -> int:
     d = mesh.devices.size
     return ((G + d - 1) // d) * d
+
+
+def put_sharded(x: np.ndarray, mesh: Mesh):
+    """Host array (replicated on every process) -> device array sharded on
+    the leading 'g' axis. Single-process: a plain device_put; multi-process
+    (jax.distributed): a global array assembled from each process's
+    addressable shards of the SAME host data — the single-controller
+    emulation that makes the sharded engine run unchanged on N hosts."""
+    sh = NamedSharding(mesh, P("g"))
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def pull_global(arr) -> np.ndarray:
+    """Device array -> full host numpy on EVERY process (allgather across
+    hosts when the array is sharded over them)."""
+    if jax.process_count() == 1 or arr.is_fully_addressable:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))

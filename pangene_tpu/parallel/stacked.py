@@ -305,17 +305,19 @@ def gen_arc_sharded(opt: PgOpt, q) -> None:
                 cols[k] = np.concatenate([cols[k], pad])
             ex_os = np.concatenate([ex_os, np.zeros((Gp - G, E), np.int32)])
             ex_oe = np.concatenate([ex_oe, np.zeros((Gp - G, E), np.int32)])
-        const_dev = {k: jnp.asarray(v) for k, v in cols.items()
+        from .mesh import put_sharded
+        const_dev = {k: put_sharded(v, mesh) for k, v in cols.items()
                      if k not in _MUTABLE_COLS}
-        ex_os_dev = jnp.asarray(ex_os)
-        ex_oe_dev = jnp.asarray(ex_oe)
+        ex_os_dev = put_sharded(ex_os, mesh)
+        ex_oe_dev = put_sharded(ex_oe, mesh)
         q._stacked_dev_cache = {
             "tags": tags, "G": G, "H": H, "E": E, "K": K, "W": W, "Gp": Gp,
             "const": const_dev, "ex_os": ex_os_dev, "ex_oe": ex_oe_dev}
 
+    from .mesh import pull_global, put_sharded
     mut = _stack_mutable(d, H, Gp)
     cols_dev = dict(const_dev)
-    cols_dev.update({k: jnp.asarray(v) for k, v in mut.items()})
+    cols_dev.update({k: put_sharded(v, mesh) for k, v in mut.items()})
 
     big_dev, small_dev = round_step(
         cols_dev, ex_os_dev, ex_oe_dev, jnp.asarray(q.g2s),
@@ -323,7 +325,7 @@ def gen_arc_sharded(opt: PgOpt, q) -> None:
         W=W, K=K, check_strand=opt.check_strand,
         use_ori=opt.use_ori_for_branch, n_gene=d.n_gene,
         mesh=mesh)
-    big = np.asarray(big_dev)        # ONE [G, 13H] pull
+    big = pull_global(big_dev)       # ONE [G, 13H] pull
     small = np.asarray(small_dev)    # psum'd seg counters
     ng = d.n_gene
     tot_cnt = small[:ng]
@@ -402,11 +404,13 @@ def post_reductions_sharded(opt: PgOpt, d: DataSet):
             cols[k][j, :n] = h.cols[k]
         cols["flt"][j, :n] = h.flt
         cols["valid"][j, :n] = True
+    from .mesh import put_sharded
     outs = reduction_step(
-        jnp.asarray(cols["pid"]), jnp.asarray(cols["score_ori"]),
-        jnp.asarray(cols["score_adj"]), jnp.asarray(cols["n_exon"]),
-        jnp.asarray(cols["rank"]), jnp.asarray(cols["flt"]),
-        jnp.asarray(cols["valid"]), n_prot=n_prot, mesh=mesh)
+        put_sharded(cols["pid"], mesh), put_sharded(cols["score_ori"], mesh),
+        put_sharded(cols["score_adj"], mesh),
+        put_sharded(cols["n_exon"], mesh),
+        put_sharded(cols["rank"], mesh), put_sharded(cols["flt"], mesh),
+        put_sharded(cols["valid"], mesh), n_prot=n_prot, mesh=mesh)
     packed = jnp.concatenate([o.astype(jnp.int64).ravel() for o in outs])
     arr = np.asarray(packed)           # one pull
     P_ = n_prot
