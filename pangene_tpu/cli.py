@@ -58,7 +58,7 @@ Options:
     --version     print version number
   TPU engine:
     --engine STR  host | host-vec | host-ref | jax | sharded [host]
-    --devices INT shard genomes over INT devices (sharded engine; 0=all) [1]
+    --devices INT shard genomes over INT devices (sharded engine; 0=all) [0]
     --save-hits F checkpoint post-ingest hit tensors to F (.npz)
     --load-hits F resume from a checkpoint instead of parsing PAFs
     --profile DIR capture a jax.profiler trace of the run into DIR

@@ -285,6 +285,45 @@ def read_paf(opt: PgOpt, d: DataSet, fn: str) -> Genome:
     return g
 
 
+def parse_worker(args) -> Optional[dict]:
+    """Parallel-parse worker: standalone native parse of ONE PAF file with
+    file-LOCAL ids (picklable numpy SoA + name blob). The pool driver
+    (pipeline.read_all) merges results in FILE ORDER, so global interning
+    order — and therefore every id and tie order — is identical to the
+    sequential path."""
+    fn, min_ratio, min_iden, coef, delim = args
+    from ..native import loader
+    return loader.parse_paf_native(fn, min_ratio, min_iden, coef,
+                                   sess=None, delim=delim)
+
+
+def merge_standalone(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
+    """Merge one worker's file-local parse into the global DataSet,
+    replaying the reference's per-record global side effects in record
+    order (read.c:151-200): gene/protein interning at first encounter,
+    prot_len last-record-wins, gene_len max, contig registration."""
+    from ..native.loader import decode_names
+    prot_names = decode_names(nat["prot_blob"])
+    delim = opt.gene_delim
+    pref, incl = opt.preferred, opt.incl
+    loc2glob = np.empty(len(prot_names), np.int32)
+    for li, name in enumerate(prot_names):
+        di = name.find(delim)
+        gname = name[:di] if di >= 0 else name
+        gid = d.add_gene(gname)
+        d.gene_preferred[gid] = 1 if (pref and gname in pref) else 0
+        d.gene_included[gid] = 1 if (incl and gname in incl) else 0
+        pid = d.add_prot(name, gid)
+        d.prot_gid[pid] = gid
+        loc2glob[li] = pid
+    nat = dict(nat)
+    nat["r_name"] = loc2glob[nat["r_name"]] if len(nat["r_name"]) \
+        else nat["r_name"]
+    nat["h_name"] = loc2glob[nat["h_name"]] if len(nat["h_name"]) \
+        else nat["h_name"]
+    return _apply_native(opt, d, fn, nat)
+
+
 def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
     """Assemble a Genome from the native parser's SoA output, applying the
     per-record global-table side effects in record order (read.c:151-200):
@@ -343,6 +382,13 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
             d.prot_n.append(0)
             d.prot_avg_score_adj.append(0)
             d.prot_max_score_ori.append(0)
+    return _apply_native(opt, d, fn, nat)
+
+
+def _apply_native(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
+    """Common tail of the native-parse merge: per-file global side effects
+    + hit-table assembly. r_name/h_name must carry GLOBAL protein ids."""
+    pgarr = np.asarray(d.prot_gid, np.int32)
     # prot_len: last record per name wins; missing field-1 records reset to 0
     r_name = nat["r_name"]
     r_qlen = nat["r_qlen"]

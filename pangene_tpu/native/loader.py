@@ -184,19 +184,23 @@ def make_session(delim: str):
 
 
 def parse_paf_native(fn: str, min_ratio: float, min_iden: float,
-                     coef: float, sess: "InternSession" = None):
+                     coef: float, sess: "InternSession" = None,
+                     delim: str = ":"):
     """Returns dict of numpy arrays + name lists, or None if unavailable.
 
     With `sess`, r_name/h_name carry GLOBAL protein ids (cross-file intern
-    in C) and the per-file prot blob is omitted."""
+    in C, delim fixed at session creation) and the per-file prot blob is
+    omitted. Without `sess` (the parallel-parse worker path), ids are
+    file-LOCAL in first-encounter order and `prot_blob` carries the names."""
     lib = get_lib()
     if lib is None:
         return None
+    dl = delim.encode()[:1] or b":"
     if sess is not None:
-        handle = lib.pg_parse_paf_sess(sess.handle, fn.encode(), b":",
+        handle = lib.pg_parse_paf_sess(sess.handle, fn.encode(), dl,
                                        min_ratio, min_iden, coef)
     else:
-        handle = lib.pg_parse_paf(fn.encode(), b":", min_ratio, min_iden,
+        handle = lib.pg_parse_paf(fn.encode(), dl, min_ratio, min_iden,
                                   coef)
     try:
         err = lib.pg_get_err(handle)

@@ -55,9 +55,11 @@ class PgOpt:
     # which execution engine runs the per-genome compute: "host" (NumPy
     # oracle) or "jax" (jit/vmap/shard_map device pipeline)
     engine: str = "host"
-    # number of devices to shard the genome axis over (jax engine);
-    # 0 = all visible devices
-    n_devices: int = 1
+    # number of devices to shard the genome axis over (sharded engine);
+    # 0 = all visible devices (the default: a TPU-native engine should use
+    # the mesh it is given; under jax.distributed it MUST span all
+    # processes' devices)
+    n_devices: int = 0
 
     @property
     def check_strand(self) -> bool:

@@ -39,7 +39,9 @@ def init_distributed() -> None:
 def make_mesh(n_devices: int = 0) -> Mesh:
     init_distributed()
     devs = jax.devices()
-    if n_devices <= 0:
+    if n_devices <= 0 or jax.process_count() > 1:
+        # multi-process: the mesh must span every process's devices, or
+        # some process would own no addressable shard of any array
         n_devices = len(devs)
     n_devices = min(n_devices, len(devs))
     return Mesh(np.array(devs[:n_devices]), axis_names=("g",))
@@ -67,7 +69,8 @@ def put_sharded(x: np.ndarray, mesh: Mesh):
     sh = NamedSharding(mesh, P("g"))
     if jax.process_count() == 1:
         return jax.device_put(x, sh)
-    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx],
+                                        dtype=x.dtype)
 
 
 def pull_global(arr) -> np.ndarray:

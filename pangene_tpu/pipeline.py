@@ -46,13 +46,65 @@ def read_postpass(opt: PgOpt, d: DataSet, g: Genome, n_tot: int) -> None:
             n_tot, g.n_hit, n_pseudo, n_flt_ov_iso, n_flt_chain, n_flt_subopt)
 
 
+def _n_parse_workers(files: List[str]) -> int:
+    """Parallel-parse worker count: PANGENE_PARSE_WORKERS, else one per
+    available core (capped at 8 and at the file count); 0/1 = sequential.
+    The reference is single-threaded — per-genome parsing is the
+    embarrassingly parallel axis it never exploits (SURVEY §2.4(1))."""
+    import os
+    env = os.environ.get("PANGENE_PARSE_WORKERS")
+    if env is not None:
+        n = int(env)
+    else:
+        n = min(len(os.sched_getaffinity(0))
+                if hasattr(os, "sched_getaffinity") else os.cpu_count() or 1,
+                8)
+    return min(n, len(files))
+
+
 def read_all(opt: PgOpt, files: List[str]) -> DataSet:
     d = DataSet.new()
+    n_workers = _n_parse_workers(files)
+    if n_workers > 1 and opt.excl is None and "-" not in files:
+        from .native import loader
+        if loader.get_lib() is not None:
+            return _read_all_parallel(opt, files, d, n_workers)
     for fn in files:
         g = paf_mod.read_paf(opt, d, fn)
         if g is None:
             continue
         read_postpass(opt, d, g, getattr(g, "_n_tot_records", g.n_hit))
+    return d
+
+
+def _read_all_parallel(opt: PgOpt, files: List[str], d: DataSet,
+                       n_workers: int) -> DataSet:
+    """Process-pool per-genome parsing: workers run the standalone native
+    parser (zlib + tokenizing + CIGAR expansion + exact score_adj) with
+    file-local ids; the driver merges results IN FILE ORDER so global
+    interning order — and thus every downstream id, rank and tie order —
+    is byte-identical to the sequential path. The per-genome filter
+    postpass stays in the driver (it dispatches to host/device engines)."""
+    import multiprocessing as mp
+    import os
+    import sys
+    args = [(fn, opt.min_prot_ratio, opt.min_prot_iden,
+             opt.score_adj_coef, opt.gene_delim) for fn in files
+            if fn == "-" or os.path.exists(fn)]
+    skipped = [fn for fn in files if fn != "-" and not os.path.exists(fn)]
+    for fn in skipped:
+        sys.stderr.write("[W::pg_read_paf] failed to open %r; skipped\n" % fn)
+    ctx = mp.get_context("fork" if sys.platform != "win32" else "spawn")
+    with ctx.Pool(n_workers) as pool:
+        for (fn, *_), nat in zip(args, pool.imap(paf_mod.parse_worker, args,
+                                                 chunksize=1)):
+            if nat is None:   # native parser unavailable in the worker
+                g = paf_mod.read_paf(opt, d, fn)
+            else:
+                g = paf_mod.merge_standalone(opt, d, fn, nat)
+            if g is None:
+                continue
+            read_postpass(opt, d, g, getattr(g, "_n_tot_records", g.n_hit))
     return d
 
 

@@ -49,3 +49,20 @@ def test_host_engines_identical(corpus, extra):
     nat = run_engine(corpus, "host", kw)
     assert vec == ref
     assert nat == ref
+
+
+def test_parallel_parse_identical(corpus, monkeypatch):
+    """Process-pool per-genome parsing (pipeline._read_all_parallel) must be
+    byte-identical to sequential parsing: file-order merging reproduces the
+    global interning order exactly (read.c:151-200 side effects)."""
+    seq = run_engine(corpus, "host")
+    monkeypatch.setenv("PANGENE_PARSE_WORKERS", "3")
+    par = run_engine(corpus, "host")
+    assert par == seq
+    # --bed=raw covers the per-record side-effect columns directly
+    from pangene_tpu.options import PG_F_WRITE_BED_RAW
+    kw = {"flag": PgOpt().flag | PG_F_WRITE_BED_RAW}
+    monkeypatch.delenv("PANGENE_PARSE_WORKERS")
+    seq = run_engine(corpus, "host", kw)
+    monkeypatch.setenv("PANGENE_PARSE_WORKERS", "2")
+    assert run_engine(corpus, "host", kw) == seq
