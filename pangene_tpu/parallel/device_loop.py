@@ -131,14 +131,17 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
     def per_shard(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of,
                   arc0_vw, arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut,
                   loci_cut, do_branch, do_occ):
-        cols = {n: blk_i32[:, :, i] for i, n in enumerate(PACK_I32)}
-        cols.update({n: blk_i64[:, :, i] for i, n in enumerate(PACK_I64)})
-        cols.update({n: blk_u8[:, :, i] for i, n in enumerate(PACK_U8)})
+        # blocks are packed with the column index LEADING so each slice is
+        # a contiguous [Gl, H] buffer (a minor-dim stride would wreck every
+        # downstream vector op on TPU)
+        cols = {n: blk_i32[i] for i, n in enumerate(PACK_I32)}
+        cols.update({n: blk_i64[i] for i, n in enumerate(PACK_I64)})
+        cols.update({n: blk_u8[i] for i, n in enumerate(PACK_U8)})
         cols["pscore"] = cols["pscore"].astype(jnp.uint64)
         cols["valid"] = cols["valid"] != 0
         ordcm = cols.pop("ordcm")
-        exo = blk_ex[:, :, 0]
-        exe = blk_ex[:, :, 1]
+        exo = blk_ex[0]
+        exe = blk_ex[1]
         Gl, H = cols["cid"].shape
         S, A, D, B, GB = cfg.S, cfg.A, cfg.D, cfg.B, cfg.GB
         ng = cfg.n_gene
@@ -515,7 +518,8 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 arc_s1, arc_ng, arc_tot, arc_ad, arc_s2, loci_st,
                 logs) + dcap + (overflow,)
 
-    in_specs = (gs, gs, gs, gs) + (rep,) * 11
+    gs1 = P(None, "g")   # blocks are [n_cols, Gp, ...], 'g' on axis 1
+    in_specs = (gs1, gs1, gs1, gs1) + (rep,) * 11
     out_specs = (gs, gs, gs, gs) + (rep,) * 16
     return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_rep=False)(
@@ -638,15 +642,16 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
 
     from .mesh import pull_global, put_sharded
     cols["ordcm"] = ordcm
-    blk_i32 = np.stack([cols[n].astype(np.int32) for n in PACK_I32], axis=2)
+    blk_i32 = np.stack([cols[n].astype(np.int32) for n in PACK_I32], axis=0)
     blk_i64 = np.stack([cols[n].view(np.int64) if n == "pscore"
                         else cols[n].astype(np.int64) for n in PACK_I64],
-                       axis=2)
-    blk_u8 = np.stack([cols[n].astype(np.uint8) for n in PACK_U8], axis=2)
-    blk_ex = np.stack([ex_os, ex_oe], axis=2)
+                       axis=0)
+    blk_u8 = np.stack([cols[n].astype(np.uint8) for n in PACK_U8], axis=0)
+    blk_ex = np.stack([ex_os, ex_oe], axis=0)
     outs = _schedule(
-        put_sharded(blk_i32, mesh), put_sharded(blk_i64, mesh),
-        put_sharded(blk_u8, mesh), put_sharded(blk_ex, mesh), q.seg_gid,
+        put_sharded(blk_i32, mesh, 1), put_sharded(blk_i64, mesh, 1),
+        put_sharded(blk_u8, mesh, 1), put_sharded(blk_ex, mesh, 1),
+        q.seg_gid,
         q.g2s, arc0_vw, arc0_s1,
         q.seg_tot_cnt.astype(np.int32),
         q.seg_n_genome.astype(np.int32),

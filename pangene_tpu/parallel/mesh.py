@@ -60,13 +60,14 @@ def pad_genomes(G: int, mesh: Mesh) -> int:
     return ((G + d - 1) // d) * d
 
 
-def put_sharded(x: np.ndarray, mesh: Mesh):
+def put_sharded(x: np.ndarray, mesh: Mesh, axis: int = 0):
     """Host array (replicated on every process) -> device array sharded on
-    the leading 'g' axis. Single-process: a plain device_put; multi-process
-    (jax.distributed): a global array assembled from each process's
-    addressable shards of the SAME host data — the single-controller
-    emulation that makes the sharded engine run unchanged on N hosts."""
-    sh = NamedSharding(mesh, P("g"))
+    the 'g' mesh axis at dimension `axis`. Single-process: a plain
+    device_put; multi-process (jax.distributed): a global array assembled
+    from each process's addressable shards of the SAME host data — the
+    single-controller emulation that makes the sharded engine run
+    unchanged on N hosts."""
+    sh = NamedSharding(mesh, P(*((None,) * axis + ("g",))))
     if jax.process_count() == 1:
         return jax.device_put(x, sh)
     return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx],
