@@ -11,7 +11,10 @@ gcc -O2, single thread) measured on the SAME corpus in this container:
 optimized single-core C program; parity >1.0 at this (small) scale is the
 multi-round goal — see BASELINE.md.
 
-Prints exactly one JSON line.
+Prints one JSON line per engine: when a TPU backend is present (and
+PANGENE_BENCH_SHARDED != 0), a first line for the device-resident sharded
+engine on the real chip, then the HOST engine line last — the driver
+parses the final line as the headline. Every line asserts the output md5.
 """
 import io
 import json
@@ -53,31 +56,52 @@ def main() -> None:
     import gzip
     n_records = sum(sum(1 for _ in gzip.open(f)) for f in files)
 
+    import hashlib
+
+    def run_engine(engine, reps):
+        dt = float("inf")
+        for _ in range(reps):
+            opt = PgOpt(engine=engine)
+            out = io.StringIO()
+            t0 = time.monotonic()
+            pipeline.run(opt, files, out=out)
+            dt = min(dt, time.monotonic() - t0)
+            md5 = hashlib.md5(out.getvalue().encode()).hexdigest()
+            if md5 != EXPECT_MD5:
+                sys.stderr.write("BENCH OUTPUT MISMATCH (%s): %s != %s\n"
+                                 % (engine, md5, EXPECT_MD5))
+                sys.exit(1)
+        return n_records / dt, md5
+
+    def emit(engine, rate, md5):
+        print(json.dumps({
+            "metric": "paf_records_per_s_end_to_end",
+            "value": round(rate, 1),
+            "unit": "records/s (%d genomes, %d records, engine=%s, md5=%s)"
+                    % (N_GENOME, n_records, engine, md5[:8]),
+            "vs_baseline": round(rate / REF_RECORDS_PER_S, 4),
+        }))
+
     engine = os.environ.get("PANGENE_BENCH_ENGINE", "host")
+    # TPU line first (hash-asserted, single rep: the device-resident round
+    # schedule on the real chip; timings vary with shared-chip contention —
+    # see TPU_GATE.json); the HOST line last, which the driver parses as
+    # the headline. PANGENE_BENCH_SHARDED=0 skips the TPU line.
+    want_sharded = os.environ.get("PANGENE_BENCH_SHARDED", "auto")
+    if engine == "host" and SCALE == "small" and want_sharded != "0":
+        try:
+            import jax
+            has_tpu = jax.default_backend() != "cpu"
+        except Exception:
+            has_tpu = False
+        if has_tpu or want_sharded == "1":
+            rate_s, md5_s = run_engine("sharded", 1)
+            emit("sharded", rate_s, md5_s)
     # best-of-N against shared-machine load noise (the reference baseline
     # was likewise measured unloaded); big corpus runs once
     reps = 5 if SCALE == "small" and engine == "host" else 1
-    import hashlib
-    dt = float("inf")
-    for _ in range(reps):
-        opt = PgOpt(engine=engine)
-        out = io.StringIO()
-        t0 = time.monotonic()
-        pipeline.run(opt, files, out=out)
-        dt = min(dt, time.monotonic() - t0)
-        md5 = hashlib.md5(out.getvalue().encode()).hexdigest()
-        if md5 != EXPECT_MD5:
-            sys.stderr.write("BENCH OUTPUT MISMATCH: %s != %s\n"
-                             % (md5, EXPECT_MD5))
-            sys.exit(1)
-    rate = n_records / dt
-    print(json.dumps({
-        "metric": "paf_records_per_s_end_to_end",
-        "value": round(rate, 1),
-        "unit": "records/s (%d genomes, %d records, engine=%s, md5=%s)"
-                % (N_GENOME, n_records, engine, md5[:8]),
-        "vs_baseline": round(rate / REF_RECORDS_PER_S, 4),
-    }))
+    rate, md5 = run_engine(engine, reps)
+    emit(engine, rate, md5)
 
 
 if __name__ == "__main__":
