@@ -46,6 +46,8 @@ def test_c4_devloop_bit_identical(c4_pafs, golden_dir):
     {"max_avg_occ": 2, "max_degree": 4, "max_dist_loci": 1},
     {"branch_diff": 0.001, "branch_diff_cut": 0.1, "branch_diff_dist": 0.01},
     {"min_arc_cnt": 2},
+    {"n_branch_flt": 0},
+    {"n_branch_flt": 1},
     {"n_branch_flt": 3},
     {"local_dist": 100000, "local_count": 2},
 ])
