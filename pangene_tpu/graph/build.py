@@ -96,6 +96,26 @@ def flt_high_occ(q: Graph, max_avg_occ: int, max_degree: int,
     q.flag_vtx()
 
 
+def debug_gene(q: Graph, name: str) -> None:
+    """Dump one gene's outgoing arcs as Z lines (reference pg_debug_gene,
+    graph.c:265-278 — a developer hook, never wired to a flag there
+    either). Call from a debugger or a REPL while chasing graph-quality
+    regressions."""
+    d = q.d
+    gid = d.gene_id[name]
+    sid = int(q.g2s[gid])
+    assert sid >= 0, "gene %s is not a vertex" % name
+    a = q.arcs
+    src = (a.x >> np.uint64(32)).astype(np.int64)
+    for j in np.flatnonzero((src >> 1) == sid):
+        v = int(src[j])
+        w = int(a.x[j] & np.uint64(0xFFFFFFFF))
+        sys.stderr.write("Z\t%s%s\t%s%s\t%d\t%d\n" % (
+            "><"[v & 1], d.gene_name[q.seg_gid[v >> 1]],
+            "><"[w & 1], d.gene_name[q.seg_gid[w >> 1]],
+            int(a.n_genome[j]), int(a.weak_br[j])))
+
+
 def cut_low_arc(opt: PgOpt, q: Graph) -> None:
     """-a: drop arcs supported by too few genomes (graph.c:191-200), then
     drop arcs touching deleted segs (pg_graph_rm_del, graph.c:179-189)."""

@@ -84,3 +84,24 @@ def test_read_label():
     assert read_label("/a/b/90_HG00438.1.f1v2g.paf.gz") == "90_HG00438.1.f1v2g"
     assert read_label("x.paf") == "x"
     assert read_label("dir/.paf.gz") is None
+
+
+def test_debug_gene_dump(c4_pafs, capsys):
+    """debug_gene prints the reference's Z-line dump (pg_debug_gene,
+    graph.c:265-278) for one vertex's outgoing arcs."""
+    import io
+    import sys
+
+    from pangene_tpu import pipeline
+    from pangene_tpu.graph.build import debug_gene
+    from pangene_tpu.options import PgOpt
+    q = pipeline.run(PgOpt(), c4_pafs, out=io.StringIO())
+    err = io.StringIO()
+    old = sys.stderr
+    sys.stderr = err
+    try:
+        debug_gene(q, "C4A")
+    finally:
+        sys.stderr = old
+    lines = [l for l in err.getvalue().splitlines() if l.startswith("Z\t")]
+    assert lines and all(l.split("\t")[1][1:] == "C4A" for l in lines)
