@@ -95,7 +95,9 @@ def main() -> None:
         except Exception:
             has_tpu = False
         if has_tpu or want_sharded == "1":
-            rate_s, md5_s = run_engine("sharded", 1)
+            # best-of-2: the first run pays one-time per-process costs
+            # (trace + compile-cache load); the second is steady state
+            rate_s, md5_s = run_engine("sharded", 2)
             emit("sharded", rate_s, md5_s)
     # best-of-N against shared-machine load noise (the reference baseline
     # was likewise measured unloaded); big corpus runs once
