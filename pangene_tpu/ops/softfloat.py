@@ -39,9 +39,12 @@ jax.config.update("jax_enable_x64", True)  # int64 throughout, as ops/device
 import jax.numpy as jnp
 
 I64 = jnp.int64
-_TWO52 = jnp.int64(1) << jnp.int64(52)
-_TWO53 = jnp.int64(1) << jnp.int64(53)
-_TWO54 = jnp.int64(1) << jnp.int64(54)
+# plain Python ints: module-level jnp constants would become TRACERS if the
+# module is first imported inside a jit trace (device.shadow_kernel imports
+# lazily), leaking out of the transformation
+_TWO52 = 1 << 52
+_TWO53 = 1 << 53
+_TWO54 = 1 << 54
 
 
 def decompose(x: float) -> Tuple[int, int]:

@@ -107,14 +107,21 @@ def main() -> int:
     import gzip
     n_rec = sum(sum(1 for _ in gzip.open(f)) for f in files)
     md5s = {}
-    for engine in ("sharded", "host"):
-        t0 = time.monotonic()
-        buf = io.StringIO()
-        pipeline.run(PgOpt(engine=engine), files, out=buf)
-        dt = time.monotonic() - t0
-        md5s[engine] = hashlib.md5(buf.getvalue().encode()).hexdigest()
+    for engine, reps in (("sharded", 2), ("host", 2)):
+        dt = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            buf = io.StringIO()
+            pipeline.run(PgOpt(engine=engine), files, out=buf)
+            dt = min(dt, time.monotonic() - t0)
+            md5s[engine] = hashlib.md5(buf.getvalue().encode()).hexdigest()
         out["timings_s"]["bench_small_" + engine] = round(dt, 2)
         out["checks"]["records_per_s_" + engine] = round(n_rec / dt, 1)
+    out["timing_note"] = (
+        "the axon chip + tunnel are SHARED: the same cached sharded program "
+        "has measured 5.8 s (steady state), 27.7 s (fresh process) and "
+        ">1600 s (contention) on the 131k-record corpus; timings here are "
+        "best-of-2 within one process and inherit that variance")
     assert md5s["sharded"] == md5s["host"] \
         == "4e077812357fa691683bea45c7831a8c", md5s
     out["checks"]["sharded_vs_host_md5"] = "identical (%s)" \
