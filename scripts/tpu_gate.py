@@ -2,8 +2,8 @@
 """TPU gate: run the device paths ON THE REAL CHIP and record the evidence.
 
 One command (`sh scripts/tpu_gate.sh` or `python scripts/tpu_gate.py`):
-  1. Mosaic-compiles both Pallas shadow-sweep kernels (v1 rolling-frame,
-     v2 tile-pair) and fuzzes them against the scalar host oracle.
+  1. Mosaic-compiles the Pallas shadow-sweep kernel (rolling-frame) and
+     fuzzes it against the scalar host oracle.
   2. Runs the jax engine end-to-end on the C4 fixture, byte-compared
      against the golden GFA.
   3. Runs the sharded engine (device-resident round schedule) end-to-end
@@ -48,7 +48,6 @@ def main() -> int:
     from pangene_tpu.ops.device import band_width
     from pangene_tpu.ops.pallas_sweep import (dyadic_ratio,
                                               shadow_pallas_genome)
-    from pangene_tpu.ops.pallas_tile import shadow_pallas_tile
     from test_pallas import build_cols
     from test_device_engine import random_genome
 
@@ -70,18 +69,16 @@ def main() -> int:
         W = band_width(g2.hits.cid, np.asarray(g2.hits.cs),
                        np.asarray(g2.hits.ce))
         p, k = dyadic_ratio(opt.min_ov_ratio)
-        for fn, tag in ((shadow_pallas_genome, "v1"),
-                        (shadow_pallas_tile, "v2")):
-            marks, has, other, ov = fn(cols, K, W, g2.n_hit, False, p, k,
-                                       interpret=False)
-            h2 = g2.hits
-            nonflt = h2.flt == 0
-            evaluated = nonflt.copy()
-            evaluated[0] = False
-            got = np.where(evaluated, marks,
-                           (h2.shadow != 0) | marks).astype(np.uint8)
-            assert np.array_equal(got, g.hits.shadow), (tag, seed)
-            n_fuzz += 1
+        marks, has, other, ov = shadow_pallas_genome(
+            cols, K, W, g2.n_hit, False, p, k, interpret=False)
+        h2 = g2.hits
+        nonflt = h2.flt == 0
+        evaluated = nonflt.copy()
+        evaluated[0] = False
+        got = np.where(evaluated, marks,
+                       (h2.shadow != 0) | marks).astype(np.uint8)
+        assert np.array_equal(got, g.hits.shadow), seed
+        n_fuzz += 1
     out["checks"]["pallas_mosaic_fuzz"] = "%d kernel runs vs oracle" % n_fuzz
     out["timings_s"]["pallas_fuzz"] = round(time.monotonic() - t0, 2)
 
