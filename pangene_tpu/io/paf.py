@@ -30,7 +30,6 @@ import numpy as np
 
 from ..core.data import DataSet, Genome, HitTable
 from ..options import PgOpt
-from ..util import log_msg
 
 try:  # bit-exact long-double exp helper (native/)
     from ..native import score_adj_exact as _score_adj_exact

@@ -21,7 +21,7 @@ PG_F_ORI_FOR_BRANCH = 0x80
 PG_F_CHECK_STRAND = 0x100
 PG_F_DROP_SGL_EXON = 0x200
 
-PG_VERSION = "0.1.0-tpu"
+PG_VERSION = "0.2.0-tpu"
 PG_REF_VERSION = "1.1-r231"  # reference version this engine is parity-checked against
 
 

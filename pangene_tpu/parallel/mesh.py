@@ -7,7 +7,6 @@ small and replicated.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np
