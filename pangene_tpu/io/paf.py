@@ -388,28 +388,36 @@ def _apply_native(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
     """Common tail of the native-parse merge: per-file global side effects
     + hit-table assembly. r_name/h_name must carry GLOBAL protein ids."""
     pgarr = np.asarray(d.prot_gid, np.int32)
-    # prot_len: last record per name wins; missing field-1 records reset to 0
+    # prot_len: last record per name wins; missing field-1 records reset to 0.
+    # All reductions are group-wise over the FILE's names only (sorted-run
+    # reduceat + fromiter over the touched ids) — converting the whole
+    # global prot/gene tables per file measured ~10% of the host run.
     r_name = nat["r_name"]
     r_qlen = nat["r_qlen"]
     if len(r_name):
         order = np.argsort(r_name, kind="stable")
         ns = r_name[order]
         last = order[np.flatnonzero(np.concatenate((ns[1:] != ns[:-1], [True])))]
-        pl = np.asarray(d.prot_len, np.int64)
         tgt = r_name[last]
         newv = np.maximum(r_qlen[last].astype(np.int64), 0)
-        chg = np.flatnonzero(pl[tgt] != newv)
-        for k in chg:
+        pl_tgt = np.fromiter((d.prot_len[t] for t in tgt.tolist()),
+                             np.int64, len(tgt))
+        for k in np.flatnonzero(pl_tgt != newv):
             d.prot_len[int(tgt[k])] = int(newv[k])
         # gene_len = max over records with a parsed qlen
         has = r_qlen >= 0
         if has.any():
-            gmax = np.full(d.n_gene, -1, np.int64)
-            np.maximum.at(gmax, pgarr[r_name[has]],
-                          r_qlen[has].astype(np.int64))
-            gl = np.asarray(d.gene_len, np.int64)
-            for g in np.flatnonzero(gmax > gl):
-                d.gene_len[int(g)] = int(gmax[g])
+            gids = pgarr[r_name[has]]
+            q = r_qlen[has].astype(np.int64)
+            o2 = np.argsort(gids, kind="stable")
+            gs = gids[o2]
+            starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+            gmax = np.maximum.reduceat(q[o2], starts)
+            ug = gs[starts]
+            gl_u = np.fromiter((d.gene_len[g] for g in ug.tolist()),
+                               np.int64, len(ug))
+            for k in np.flatnonzero(gmax > gl_u):
+                d.gene_len[int(ug[k])] = int(gmax[k])
     # contigs: per-file table; register names globally; len = last record's
     ctg_names = nat["ctg_names"]
     for name in ctg_names:
