@@ -81,6 +81,9 @@ class HitTable:
     def set(self, name: str, value: np.ndarray) -> None:
         assert name in self.cols and value.shape == self.cols[name].shape
         self.cols[name] = value.astype(self.cols[name].dtype, copy=False)
+        # replacing a column changes its buffer address: bump the physical
+        # version so native pointer/hot caches keyed on _ver invalidate
+        self._ver = getattr(self, "_ver", 0) + 1
 
     def permute(self, perm: np.ndarray) -> None:
         for k in self.cols:

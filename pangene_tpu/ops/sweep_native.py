@@ -204,6 +204,24 @@ def _p(a: np.ndarray, dt, pt=None):
     return a.ctypes.data
 
 
+def _hit_addrs(h):
+    """Per-table cache of every column's buffer address, keyed on the
+    physical version (HitTable.set/permute bump _ver, so a replaced or
+    permuted column invalidates). The table itself holds the arrays, so
+    the addresses stay live for any C call made while it exists. Saves
+    ~30 ctypes address extractions per round_genome call (~5% of the
+    host engine's wall time at bench scale)."""
+    ver = getattr(h, "_ver", 0)
+    cache = getattr(h, "_addr_cache", None)
+    if cache is None or cache[0] != ver:
+        if _DEBUG_PTRS:
+            for k, a in h.cols.items():
+                assert a.flags.c_contiguous, k
+        cache = (ver, {k: a.ctypes.data for k, a in h.cols.items()})
+        h._addr_cache = cache
+    return cache[1]
+
+
 def _c(a, dt):
     """Contiguous dtype-converted view/copy; bind the result to a local."""
     return np.ascontiguousarray(a, dt)
@@ -411,24 +429,25 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
             gen._hot_buf = hot
             hot_valid = 0
         hot_ptr = _p(hot[0], np.uint8, None)
+    ad = _hit_addrs(h)
     m = int(lib.pg_round_genome(
         n,
-        _p(h.pid, np.int32, _i32p), _p(h.rank, np.int32, _i32p),
-        _p(h.score_adj, np.int32, _i32p), _p(h.score_ori, np.int32, _i32p),
-        _p(h.n_exon, np.int32, _i32p), _p(h.off_exon, np.int32, _i32p),
-        _p(h.cid, np.int32, _i32p),
-        _p(h.rev, np.uint8, _u8p), _p(h.flt, np.uint8, _u8p),
-        _p(h.weak_br, np.uint8, _u8p),
-        _p(h.cs, np.int64, _i64p), _p(h.ce, np.int64, _i64p),
+        ad["pid"], ad["rank"],
+        ad["score_adj"], ad["score_ori"],
+        ad["n_exon"], ad["off_exon"],
+        ad["cid"],
+        ad["rev"], ad["flt"],
+        ad["weak_br"],
+        ad["cs"], ad["ce"],
         eos, eoe,
         _p(pg, np.int32, _i32p), _p(gp, np.uint8, _u8p),
         1 if opt.check_strand else 0, float(opt.min_ov_ratio),
-        _p(h.shadow, np.uint8, _u8p),
-        _p(h.pid_dom, np.int32, _i32p), _p(h.score_dom, np.int32, _i32p),
+        ad["shadow"],
+        ad["pid_dom"], ad["score_dom"],
         1 if run_shadow else 0,
         vp,
-        _p(h.cm, np.int64, _i64p),
-        _p(h.pid_dom0, np.int32, _i32p),
+        ad["cm"],
+        ad["pid_dom0"],
         _p(g2sc, np.int32, _i32p),
         1 if use_ori else 0, n_seg, _p(seg_cnt, np.int32, _i32p),
         _p(out_x, np.uint64, _u64p), _p(out_n, np.int32, _i32p),
