@@ -158,3 +158,45 @@ def test_random_graphs_oracle_fuzz():
         if any(l.startswith("BB") for l in call_oracle(text, True)):
             n_with_bubbles += 1
     assert n_with_bubbles >= 5  # the fuzz actually exercises bubbles
+
+
+def tools_call_pst(fn):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tools_main(["call", "--sym", "-p", "-s", str(fn)])
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("fx", FIXTURES, ids=lambda p: p.name)
+def test_pst_mode_definitional_and_golden(fx):
+    """`call -p -s` (PST / SESE path, pangene.js:607-631,736-772): every
+    surviving BB record must pass the ORACLE's definitional bibubble test
+    with the exact member set, every FB record must fail it, and the byte
+    output is pinned."""
+    from bubble_oracle import OGfa, _get_bubble_id
+    out = tools_call_pst(fx)
+    want = (GOLDEN / "bubble" / (fx.stem + ".call-pst.txt")).read_text()
+    assert out == want
+    g = OGfa(fx.read_text(), sym=True)
+    n_vtx = 2 * len(g.names)
+
+    def vtx(tok):
+        return g.name_id[tok[1:]] * 2 | (0 if tok[0] == ">" else 1)
+
+    n_bb = 0
+    for line in records(out):
+        t = line.split("\t")
+        if t[0] not in ("BB", "FB"):
+            continue
+        vs, ve = vtx(t[4]), vtx(t[5])
+        flag = [-1] * n_vtx
+        r = _get_bubble_id(g, vs, ve, flag, 0, 100)
+        if t[0] == "BB":
+            n_bb += 1
+            assert r, line
+            assert {g.names[s] for s in r} == set(t[-1].split(",")), line
+        else:
+            assert not r, line
+    # the fixtures exercise real PST bubbles, not vacuous empties
+    if fx.name in ("t2-0-simple.gfa", "t2-1.gfa", "t1-8c.gfa"):
+        assert n_bb >= 1
