@@ -11,10 +11,12 @@ gcc -O2, single thread) measured on the SAME corpus in this container:
 optimized single-core C program; parity >1.0 at this (small) scale is the
 multi-round goal — see BASELINE.md.
 
-Prints one JSON line per engine: when a TPU backend is present (and
-PANGENE_BENCH_SHARDED != 0), a first line for the device-resident sharded
-engine on the real chip, then the HOST engine line last — the driver
-parses the final line as the headline. Every line asserts the output md5.
+Prints one JSON line per measurement, the small-corpus HOST line LAST (the
+driver parses the final line as the headline): first the device-resident
+sharded engine on the real chip (when a TPU backend is present and
+PANGENE_BENCH_SHARDED != 0), then the big-corpus host line (when its
+1.3M-record corpus is already cached), then the headline. Every line
+asserts the output md5 against the reference binary's GFA.
 """
 import io
 import json
@@ -114,6 +116,24 @@ def main() -> None:
                 sys.stderr.write("BENCH: sharded engine exceeded %ds "
                                  "(shared-chip contention); skipping its "
                                  "line\n" % budget)
+    # big-corpus host line (the larger multipliers live at scale,
+    # BASELINE.md): emitted when the 1.3M-record corpus is already cached
+    # so the default run never pays its one-time generation
+    if engine == "host" and SCALE == "small" \
+            and os.environ.get("PANGENE_BENCH_BIG", "auto") != "0":
+        big_cache = os.path.join(tempfile.gettempdir(), "pg_bench_64_10000_7")
+        if os.path.exists(os.path.join(big_cache, "done")):
+            import subprocess
+            env = dict(os.environ, PANGENE_BENCH_SCALE="big",
+                       PANGENE_BENCH_SHARDED="0", PANGENE_BENCH_BIG="0")
+            try:
+                r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                   env=env, timeout=300,
+                                   stdout=subprocess.PIPE)
+                sys.stdout.write(r.stdout.decode())
+                sys.stdout.flush()
+            except subprocess.TimeoutExpired:
+                pass
     # best-of-N against shared-machine load noise (the reference baseline
     # was likewise measured unloaded); sharded uses best-of-2 (first rep
     # pays per-process trace + compile-cache load); big corpus runs once
