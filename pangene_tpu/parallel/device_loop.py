@@ -668,7 +668,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
                 "window); falling back to host rounds")
         return False
 
-    _emit_round_logs(opt, q, logs, dmask, ddeg, dloci, dtot, R)
+    _emit_round_logs(q, logs, dmask, ddeg, dloci, dtot, R)
 
     # apply hit state
     for j, g in enumerate(d.genomes):
@@ -710,7 +710,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     return True
 
 
-def _emit_round_logs(opt, q, logs, dmask, ddeg, dloci, dtot, R) -> None:
+def _emit_round_logs(q, logs, dmask, ddeg, dloci, dtot, R) -> None:
     """Replay the reference's per-round stderr messages from the pulled
     counters (content-exact; timestamps are emission-time)."""
     import sys
