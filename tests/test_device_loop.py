@@ -98,3 +98,14 @@ def test_devloop_verbose_del_logs(corpus, capsys):
     dev_lines, dev_out = stderr_of("sharded")
     assert dev_out == host_out
     assert dev_lines == host_lines
+
+
+@pytest.mark.parametrize("mode", ["walk", "flag"])
+def test_c4_devloop_bed_modes(c4_pafs, golden_dir, mode):
+    """--bed=walk/--bed=flag through the device loop: the BED dump reads
+    the final flt/shadow/weak/pid_dom state the schedule pulled back."""
+    from pangene_tpu.options import (PG_F_WRITE_BED_FLAG,
+                                     PG_F_WRITE_BED_WALK)
+    flag = PG_F_WRITE_BED_WALK if mode == "walk" else PG_F_WRITE_BED_FLAG
+    got = run(c4_pafs, "sharded", flag=PgOpt().flag | flag)
+    assert got == (golden_dir / ("C4.bed.%s" % mode)).read_text()
