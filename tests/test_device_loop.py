@@ -50,6 +50,9 @@ def test_c4_devloop_bit_identical(c4_pafs, golden_dir):
     {"n_branch_flt": 1},
     {"n_branch_flt": 3},
     {"local_dist": 100000, "local_count": 2},
+    # combined: several softfloat predicates + capacity pressure at once
+    {"min_ov_ratio": 0.3, "max_degree": 5, "branch_diff": 0.005,
+     "branch_diff_dist": 0.02, "n_branch_flt": 7},
 ])
 def test_devloop_matches_host(corpus, kw):
     assert run(corpus, "sharded", **kw) == run(corpus, "host", **kw)
