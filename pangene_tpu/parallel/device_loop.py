@@ -569,9 +569,19 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
                                       np.asarray(g.hits.ce)))
     W = min(dev.next_pow2(W, lo=2), H)
     # 25% headroom over the phase-1 arc count, bucketed to 4096 for
-    # compile-cache reuse; overflow falls back to the host rounds
+    # compile-cache reuse; overflow falls back to the host rounds.
+    # PANGENE_DEVLOOP_MAX_A caps device memory on huge graphs (and lets
+    # tests exercise the overflow fallback).
+    import os as _os
     A = ((q.n_arc + q.n_arc // 4 + 4095) // 4096 + 1) * 4096
     A = min(max(A, 4096), Gp * 2 * H)
+    max_a = int(_os.environ.get("PANGENE_DEVLOOP_MAX_A", "0"))
+    if max_a > 0:
+        A = min(A, max_a)
+    if q.n_arc > A:
+        log_msg("pg_device_loop", "arc capacity %d below phase-1 count %d; "
+                "falling back to host rounds", A, q.n_arc)
+        return False
     D = 64
     T = opt.n_branch_flt
     R = T + 1

@@ -112,3 +112,12 @@ def test_c4_devloop_bed_modes(c4_pafs, golden_dir, mode):
     flag = PG_F_WRITE_BED_WALK if mode == "walk" else PG_F_WRITE_BED_FLAG
     got = run(c4_pafs, "sharded", flag=PgOpt().flag | flag)
     assert got == (golden_dir / ("C4.bed.%s" % mode)).read_text()
+
+
+def test_devloop_capacity_fallback(corpus, monkeypatch):
+    """An arc-capacity overflow must fall back to the host rounds with
+    byte-identical output (PANGENE_DEVLOOP_MAX_A also serves as a device
+    memory cap on huge graphs)."""
+    want = run(corpus, "host")
+    monkeypatch.setenv("PANGENE_DEVLOOP_MAX_A", "64")
+    assert run(corpus, "sharded") == want
