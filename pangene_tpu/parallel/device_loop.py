@@ -87,7 +87,6 @@ class Cfg(NamedTuple):
     branch_diff_cut: float
     local_dist: int
     local_count: int
-    verbose_del: bool
 
 
 def _seg_reduce(op, vals, seg_id, n):
@@ -447,15 +446,17 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
 
             alive, flt, n_occ, n_deg, n_loci, newdel, deg_v = lax.cond(
                 do_occ[r], occ_block, no_occ, (alive, flt))
-            if cfg.verbose_del:
-                dcap_mask, dcap_deg, dcap_loci, dcap_tot = dcap
-                sidx = jnp.arange(S)
-                dcap_mask = dcap_mask.at[r].set(newdel.astype(jnp.uint8))
-                dcap_deg = dcap_deg.at[r, :, 0].set(deg_v[sidx * 2])
-                dcap_deg = dcap_deg.at[r, :, 1].set(deg_v[sidx * 2 + 1])
-                dcap_loci = dcap_loci.at[r].set(loci)
-                dcap_tot = dcap_tot.at[r].set(seg_tot)
-                dcap = (dcap_mask, dcap_deg, dcap_loci, dcap_tot)
+            # #del replay capture is ALWAYS threaded (a few [S]-sized
+            # scatters per round) so verbose and quiet runs share ONE
+            # compiled program per shape — halves the compile-cache space
+            dcap_mask, dcap_deg, dcap_loci, dcap_tot = dcap
+            sidx = jnp.arange(S)
+            dcap_mask = dcap_mask.at[r].set(newdel.astype(jnp.uint8))
+            dcap_deg = dcap_deg.at[r, :, 0].set(deg_v[sidx * 2])
+            dcap_deg = dcap_deg.at[r, :, 1].set(deg_v[sidx * 2 + 1])
+            dcap_loci = dcap_loci.at[r].set(loci)
+            dcap_tot = dcap_tot.at[r].set(seg_tot)
+            dcap = (dcap_mask, dcap_deg, dcap_loci, dcap_tot)
 
             # ===== arc regeneration (graph.c:87-177) =====
             # shadow sweep on the (fixed) cs order
@@ -492,16 +493,10 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
             return (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
                     arc_vw, arc_s1, loci_st, logs, dcap, overflow)
 
-        if cfg.verbose_del:
-            dcap0 = (jnp.zeros((cfg.R, S), jnp.uint8),
-                     jnp.zeros((cfg.R, S, 2), jnp.int32),
-                     jnp.zeros((cfg.R, S, 2), jnp.int32),
-                     jnp.zeros((cfg.R, S), jnp.int32))
-        else:
-            dcap0 = (jnp.zeros((1, 1), jnp.uint8),
-                     jnp.zeros((1, 1, 2), jnp.int32),
-                     jnp.zeros((1, 1, 2), jnp.int32),
-                     jnp.zeros((1, 1), jnp.int32))
+        dcap0 = (jnp.zeros((cfg.R, S), jnp.uint8),
+                 jnp.zeros((cfg.R, S, 2), jnp.int32),
+                 jnp.zeros((cfg.R, S, 2), jnp.int32),
+                 jnp.zeros((cfg.R, S), jnp.int32))
         st0 = (cols["flt"], cols["weak_br"], cols["shadow"], cols["pid_dom"],
                jnp.ones(S, bool), seg_tot0, seg_ng0, arc0_vw, arc0_s1,
                jnp.zeros((S, 2), jnp.int32),
@@ -531,23 +526,37 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
 # host driver
 # ---------------------------------------------------------------------------
 
+# Diagnostics of the most recent graph_gen_device call: engaged flag,
+# fallback reason, static shape, and wall-clock stage breakdown (pack /
+# upload / device run / pull). tpu_gate and the dryrun assert on this.
+LAST: dict = {}
+
+
+def _fallback(reason: str) -> bool:
+    LAST.clear()
+    LAST.update(engaged=False, reason=reason)
+    return False
+
+
 def graph_gen_device(opt: PgOpt, q) -> bool:
     """Run phases 2+3 of the schedule on device. Returns True when the
     results were applied (bit-identical to the host rounds); False when a
     precondition or capacity check failed and the caller must run the host
     rounds instead. Assumes phase 1 (gen_vtx + first gen_arc) already ran."""
-    from .. import util
+    import time
+
     from ..graph.graphdata import ArcTable
 
     d = q.d
     G = d.n_genome
     if G == 0 or q.n_seg == 0 or q.n_arc == 0:
-        return False
+        return _fallback("empty graph")
+    t_pack0 = time.monotonic()
     views = _steady_cm_views(d)
     if views is None:
         log_msg("pg_device_loop", "cm/cs sort order not in steady cycle; "
                 "falling back to host rounds")
-        return False
+        return _fallback("cm/cs sort order not in steady cycle")
     S = q.n_seg
     ngene = d.n_gene
     B = max(int(2 * S - 1).bit_length(), 2)
@@ -556,7 +565,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     Gp = ((G + nd - 1) // nd) * nd
     GB = max((Gp - 1).bit_length(), 1)
     if 2 * B + GB > 62:
-        return False
+        return _fallback("2B+GB=%d > 62 (S=%d, Gp=%d)" % (2 * B + GB, S, Gp))
     H = max(((max((g.n_hit for g in d.genomes), default=1) + 511) // 512)
             * 512, 512)
     E = dev.next_pow2(max((len(g.exon_os) for g in d.genomes), default=1))
@@ -581,7 +590,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     if q.n_arc > A:
         log_msg("pg_device_loop", "arc capacity %d below phase-1 count %d; "
                 "falling back to host rounds", A, q.n_arc)
-        return False
+        return _fallback("arc capacity %d < phase-1 count %d" % (A, q.n_arc))
     D = 64
     T = opt.n_branch_flt
     R = T + 1
@@ -647,8 +656,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
               branch_diff_dist=float(opt.branch_diff_dist),
               branch_diff_cut=float(opt.branch_diff_cut),
               local_dist=int(opt.local_dist),
-              local_count=int(opt.local_count),
-              verbose_del=util.verbose >= 3)
+              local_count=int(opt.local_count))
 
     from .mesh import pull_global, put_sharded
     cols["ordcm"] = ordcm
@@ -658,22 +666,45 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
                        axis=0)
     blk_u8 = np.stack([cols[n].astype(np.uint8) for n in PACK_U8], axis=0)
     blk_ex = np.stack([ex_os, ex_oe], axis=0)
+    t_up0 = time.monotonic()
+    dev_blks = [put_sharded(b, mesh, 1)
+                for b in (blk_i32, blk_i64, blk_u8, blk_ex)]
+    for b in dev_blks:
+        b.block_until_ready()   # note: a no-op on the axon tunnel —
+        # deferred transfer time is then charged to run_s instead
+    t_run0 = time.monotonic()
     outs = _schedule(
-        put_sharded(blk_i32, mesh, 1), put_sharded(blk_i64, mesh, 1),
-        put_sharded(blk_u8, mesh, 1), put_sharded(blk_ex, mesh, 1),
+        *dev_blks,
         q.seg_gid,
         q.g2s, arc0_vw, arc0_s1,
         q.seg_tot_cnt.astype(np.int32),
         q.seg_n_genome.astype(np.int32),
         occ_cut, deg_cut, loci_cut,
         do_branch, do_occ, cfg=cfg, mesh=mesh)
+    # a 1-element pull forces execution completion even on the axon
+    # backend (where block_until_ready does not actually block)
+    overflow_flag = bool(np.asarray(outs[-1]))
+    t_pull0 = time.monotonic()
     # first four outputs are genome-sharded; the rest replicated
     host = [pull_global(o) for o in outs[:4]] \
         + [np.asarray(o) for o in outs[4:]]
+    t_pull1 = time.monotonic()
     (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_s1,
      arc_ng, arc_tot, arc_ad, arc_s2, loci_fin, logs,
      dmask, ddeg, dloci, dtot, overflow) = host
-    if bool(overflow):
+    LAST.clear()
+    LAST.update(
+        engaged=not overflow_flag,
+        shape=dict(G=G, Gp=Gp, H=H, E=E, K=K, W=W, S=S, A=A, D=D, R=R,
+                   n_devices=nd),
+        upload_bytes=int(sum(b.nbytes for b in (blk_i32, blk_i64, blk_u8,
+                                                blk_ex))),
+        pack_s=round(t_up0 - t_pack0, 3),
+        upload_s=round(t_run0 - t_up0, 3),
+        run_s=round(t_pull0 - t_run0, 3),
+        pull_s=round(t_pull1 - t_pull0, 3))
+    if overflow_flag:
+        LAST["reason"] = "capacity overflow (arcs or branch window)"
         log_msg("pg_device_loop", "capacity overflow (arcs or branch "
                 "window); falling back to host rounds")
         return False

@@ -59,15 +59,57 @@ def pad_genomes(G: int, mesh: Mesh) -> int:
     return ((G + d - 1) // d) * d
 
 
+def _transfer_chunk_bytes() -> int:
+    """Max bytes per single host->device transfer, 0 = unlimited.
+    The experimental axon PJRT plugin segfaults on very large uploads
+    (~200 MB observed); chunking each logical array into <=32 MB
+    device_puts and concatenating ON DEVICE dodges that while keeping the
+    result bitwise identical. CPU meshes skip chunking (no such bug, and
+    the concat would just burn time)."""
+    import os
+    env = os.environ.get("PANGENE_MAX_TRANSFER_MB")
+    if env is not None:
+        return int(float(env) * (1 << 20))
+    return 0 if jax.default_backend() == "cpu" else 32 << 20
+
+
+def _put_chunked(x: np.ndarray, sh: NamedSharding, g_axis: int, lim: int):
+    """device_put x in <=lim-byte slices along the largest non-sharded
+    axis, then concatenate on device under the target sharding."""
+    import jax.numpy as jnp
+    cands = [a for a in range(x.ndim) if a != g_axis and x.shape[a] > 1]
+    if not cands:
+        return jax.device_put(x, sh)
+    ax = max(cands, key=lambda a: x.shape[a])
+    n_chunks = min(-(-x.nbytes // lim), x.shape[ax])
+    step = -(-x.shape[ax] // n_chunks)
+    parts = []
+    idx = [slice(None)] * x.ndim
+    for lo in range(0, x.shape[ax], step):
+        idx[ax] = slice(lo, lo + step)
+        piece = np.ascontiguousarray(x[tuple(idx)])
+        if piece.nbytes > lim:
+            parts.append(_put_chunked(piece, sh, g_axis, lim))
+        else:
+            parts.append(jax.device_put(piece, sh))
+    cat = jax.jit(lambda *ps: jnp.concatenate(ps, axis=ax),
+                  out_shardings=sh)
+    return cat(*parts)
+
+
 def put_sharded(x: np.ndarray, mesh: Mesh, axis: int = 0):
     """Host array (replicated on every process) -> device array sharded on
     the 'g' mesh axis at dimension `axis`. Single-process: a plain
-    device_put; multi-process (jax.distributed): a global array assembled
-    from each process's addressable shards of the SAME host data — the
-    single-controller emulation that makes the sharded engine run
-    unchanged on N hosts."""
+    device_put (chunked into bounded slices on TPU backends, see
+    _transfer_chunk_bytes); multi-process (jax.distributed): a global
+    array assembled from each process's addressable shards of the SAME
+    host data — the single-controller emulation that makes the sharded
+    engine run unchanged on N hosts."""
     sh = NamedSharding(mesh, P(*((None,) * axis + ("g",))))
     if jax.process_count() == 1:
+        lim = _transfer_chunk_bytes()
+        if lim and x.nbytes > lim:
+            return _put_chunked(x, sh, axis, lim)
         return jax.device_put(x, sh)
     return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx],
                                         dtype=x.dtype)
