@@ -384,14 +384,29 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
     return _apply_native(opt, d, fn, nat)
 
 
+def _np_mirror(d: DataSet, attr: str) -> np.ndarray:
+    """Cached int64 numpy mirror of a grow-only int list, rebuilt whenever
+    the list length changed (appends happen between files). Within the
+    native parse flow the ONLY same-length writers are the blocks below,
+    which update list and mirror together — any new writer must do the
+    same or drop the mirror (delattr)."""
+    key = "_np_" + attr
+    lst = getattr(d, attr)
+    arr = getattr(d, key, None)
+    if arr is None or len(arr) != len(lst):
+        arr = np.asarray(lst, np.int64)
+        setattr(d, key, arr)
+    return arr
+
+
 def _apply_native(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
     """Common tail of the native-parse merge: per-file global side effects
     + hit-table assembly. r_name/h_name must carry GLOBAL protein ids."""
     pgarr = np.asarray(d.prot_gid, np.int32)
     # prot_len: last record per name wins; missing field-1 records reset to 0.
     # All reductions are group-wise over the FILE's names only (sorted-run
-    # reduceat + fromiter over the touched ids) — converting the whole
-    # global prot/gene tables per file measured ~10% of the host run.
+    # reduceat against cached numpy mirrors of the grow-only tables —
+    # per-item list access here measured ~10% of the host run).
     r_name = nat["r_name"]
     r_qlen = nat["r_qlen"]
     if len(r_name):
@@ -400,10 +415,12 @@ def _apply_native(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
         last = order[np.flatnonzero(np.concatenate((ns[1:] != ns[:-1], [True])))]
         tgt = r_name[last]
         newv = np.maximum(r_qlen[last].astype(np.int64), 0)
-        pl_tgt = np.fromiter((d.prot_len[t] for t in tgt.tolist()),
-                             np.int64, len(tgt))
-        for k in np.flatnonzero(pl_tgt != newv):
-            d.prot_len[int(tgt[k])] = int(newv[k])
+        pl = _np_mirror(d, "prot_len")
+        diff = np.flatnonzero(pl[tgt] != newv)
+        if len(diff):
+            pl[tgt[diff]] = newv[diff]
+            for k in diff:
+                d.prot_len[int(tgt[k])] = int(newv[k])
         # gene_len = max over records with a parsed qlen
         has = r_qlen >= 0
         if has.any():
@@ -414,10 +431,12 @@ def _apply_native(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
             starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
             gmax = np.maximum.reduceat(q[o2], starts)
             ug = gs[starts]
-            gl_u = np.fromiter((d.gene_len[g] for g in ug.tolist()),
-                               np.int64, len(ug))
-            for k in np.flatnonzero(gmax > gl_u):
-                d.gene_len[int(ug[k])] = int(gmax[k])
+            gl = _np_mirror(d, "gene_len")
+            diff = np.flatnonzero(gmax > gl[ug])
+            if len(diff):
+                gl[ug[diff]] = gmax[diff]
+                for k in diff:
+                    d.gene_len[int(ug[k])] = int(gmax[k])
     # contigs: per-file table; register names globally; len = last record's
     ctg_names = nat["ctg_names"]
     for name in ctg_names:
