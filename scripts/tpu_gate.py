@@ -103,6 +103,7 @@ def main() -> int:
                    if f.endswith(".paf.gz"))
     import gzip
     n_rec = sum(sum(1 for _ in gzip.open(f)) for f in files)
+    from pangene_tpu.parallel import device_loop
     md5s = {}
     for engine, reps in (("sharded", 2), ("host", 2)):
         dt = float("inf")
@@ -110,8 +111,17 @@ def main() -> int:
             t0 = time.monotonic()
             buf = io.StringIO()
             pipeline.run(PgOpt(engine=engine), files, out=buf)
-            dt = min(dt, time.monotonic() - t0)
+            rep_dt = time.monotonic() - t0
             md5s[engine] = hashlib.md5(buf.getvalue().encode()).hexdigest()
+            if engine == "sharded":
+                assert device_loop.LAST.get("engaged"), device_loop.LAST
+                if rep_dt < dt:
+                    # stage breakdown of the BEST rep (VERDICT r2 item 4):
+                    # pack/upload/run/pull split; on axon,
+                    # block_until_ready is a no-op so any deferred upload
+                    # time is charged to run_s
+                    out["breakdown_small"] = dict(device_loop.LAST)
+            dt = min(dt, rep_dt)
         out["timings_s"]["bench_small_" + engine] = round(dt, 2)
         out["checks"]["records_per_s_" + engine] = round(n_rec / dt, 1)
     out["timing_note"] = (
@@ -124,6 +134,35 @@ def main() -> int:
     out["checks"]["sharded_vs_host_md5"] = "identical (%s)" \
         % md5s["host"][:8]
     out["n_records"] = n_rec
+
+    # ---- 4. BIG corpus (64 genomes / 1.3M records) through the device-
+    # resident schedule on the real chip (VERDICT r2 item 1): the ~200MB
+    # upload that segfaulted the axon plugin now ships as chunked
+    # device_puts (parallel/mesh._put_chunked). First-ever compile of the
+    # big shape takes 10-45+ min through the tunnel; skip with
+    # PANGENE_TPU_BIG=0. ----
+    if os.environ.get("PANGENE_TPU_BIG", "1") != "0":
+        big = os.path.join(tempfile.gettempdir(), "pg_bench_64_10000_7")
+        if not os.path.exists(os.path.join(big, "done")):
+            synth_paf_files(big, n_genome=64, n_gene=10000, n_iso=3, seed=7)
+            open(os.path.join(big, "done"), "w").write("ok")
+        bfiles = sorted(os.path.join(big, f) for f in os.listdir(big)
+                        if f.endswith(".paf.gz"))
+        n_big = sum(sum(1 for _ in gzip.open(f)) for f in bfiles)
+        t0 = time.monotonic()
+        buf = io.StringIO()
+        pipeline.run(PgOpt(engine="sharded"), bfiles, out=buf)
+        dt = time.monotonic() - t0
+        assert device_loop.LAST.get("engaged"), device_loop.LAST
+        md5_big = hashlib.md5(buf.getvalue().encode()).hexdigest()
+        assert md5_big == "b988fc85e7633316be354ab315a0449c", md5_big
+        out["big_corpus_sharded"] = {
+            "n_records": n_big, "s": round(dt, 2),
+            "records_per_s": round(n_big / dt, 1),
+            "md5": md5_big[:8], "breakdown": dict(device_loop.LAST),
+        }
+        out["checks"]["big_corpus_sharded_md5"] = "identical (%s)" \
+            % md5_big[:8]
     out["ok"] = True
     with open(os.path.join(ROOT, "TPU_GATE.json"), "w") as f:
         json.dump(out, f, indent=1)
