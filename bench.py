@@ -158,6 +158,7 @@ def main() -> None:
     if engine == "sharded":
         from pangene_tpu.parallel import device_loop
         result["device_loop"] = device_loop.LAST
+        result["host_stages"] = dict(util.stage_stats)
     if is_child:
         print(json.dumps(result))
         return

@@ -140,6 +140,9 @@ def graph_gen(opt: PgOpt, q: Graph) -> None:
                    and os.environ.get("PANGENE_DEVICE_LOOP", "1") != "0")
 
     # phase 1: initial vertices
+    import time as _time
+    from .. import util
+    t0 = _time.monotonic()
     set_filter(d, "pseudo", 1)
     gen_vtx(opt, q)
     q.flag_vtx()
@@ -148,6 +151,7 @@ def graph_gen(opt: PgOpt, q: Graph) -> None:
         arcs_ops.gen_arc_loop(opt, q)
     else:
         arcs_ops.gen_arc(opt, q)
+    util.stage_stats["phase1_host_s"] = round(_time.monotonic() - t0, 3)
     log_msg("pg_graph_gen", "round-1 graph: %d genes and %d arcs",
             q.n_seg, q.n_arc)
     if use_devloop:

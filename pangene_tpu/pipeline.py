@@ -133,6 +133,10 @@ def run(opt: PgOpt, files: List[str], out: Optional[IO[str]] = None,
 
 
 def _run_inner(opt, files, out, save_hits, load_hits) -> Graph:
+    import time as _time
+    from . import util
+    util.stage_stats.clear()
+    t0 = _time.monotonic()
     if load_hits:
         from .io.checkpoint import load_dataset
         d = load_dataset(load_hits)
@@ -144,12 +148,18 @@ def _run_inner(opt, files, out, save_hits, load_hits) -> Graph:
         from .io.checkpoint import save_dataset
         save_dataset(d, save_hits)
         log_msg("pg_checkpoint", "saved post-ingest tensors to %s", save_hits)
+    util.stage_stats["parse_s"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
     post_process(opt, d)
+    util.stage_stats["post_s"] = round(_time.monotonic() - t0, 3)
     if opt.flag & PG_F_WRITE_BED_RAW:
         bed_mod.write_bed(d, is_walk=False, out=out)
         return Graph(d)
     q = Graph(d)
+    t0 = _time.monotonic()
     build_mod.graph_gen(opt, q)
+    util.stage_stats["graph_s"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
     if opt.flag & PG_F_WRITE_BED_WALK:
         bed_mod.write_bed(d, is_walk=True, out=out)
     elif opt.flag & PG_F_WRITE_BED_FLAG:
@@ -158,4 +168,5 @@ def _run_inner(opt, files, out, save_hits, load_hits) -> Graph:
         gfa_write.write_graph(q, out)
         if not (opt.flag & PG_F_WRITE_NO_WALK):
             gfa_write.write_walk(q, out)
+    util.stage_stats["emit_s"] = round(_time.monotonic() - t0, 3)
     return q

@@ -13,6 +13,12 @@ import time
 
 verbose = 3
 
+# Coarse wall-clock of the most recent pipeline.run, keyed by stage
+# (parse/post_process/graph/emit, plus phase1_host when the device loop
+# ran). Reset at the start of each run; consumed by scripts/tpu_gate.py's
+# utilization breakdown and bench.py's sharded line.
+stage_stats: dict = {}
+
 _t0 = time.monotonic()
 _cpu0 = time.process_time()
 

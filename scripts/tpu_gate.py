@@ -117,10 +117,12 @@ def main() -> int:
                 assert device_loop.LAST.get("engaged"), device_loop.LAST
                 if rep_dt < dt:
                     # stage breakdown of the BEST rep (VERDICT r2 item 4):
-                    # pack/upload/run/pull split; on axon,
+                    # host stages (parse/post/phase-1/emit) + the device
+                    # loop's pack/upload/run/pull split; on axon,
                     # block_until_ready is a no-op so any deferred upload
                     # time is charged to run_s
-                    out["breakdown_small"] = dict(device_loop.LAST)
+                    out["breakdown_small"] = dict(
+                        device_loop.LAST, host_stages=dict(util.stage_stats))
             dt = min(dt, rep_dt)
         out["timings_s"]["bench_small_" + engine] = round(dt, 2)
         out["checks"]["records_per_s_" + engine] = round(n_rec / dt, 1)
@@ -159,7 +161,9 @@ def main() -> int:
         out["big_corpus_sharded"] = {
             "n_records": n_big, "s": round(dt, 2),
             "records_per_s": round(n_big / dt, 1),
-            "md5": md5_big[:8], "breakdown": dict(device_loop.LAST),
+            "md5": md5_big[:8],
+            "breakdown": dict(device_loop.LAST,
+                              host_stages=dict(util.stage_stats)),
         }
         out["checks"]["big_corpus_sharded_md5"] = "identical (%s)" \
             % md5_big[:8]
