@@ -156,8 +156,13 @@ def main() -> None:
         }
         result["vs_ref_paired"] = round(rate / (n_records / ref_dt), 4)
     if engine == "sharded":
+        # compact breakdown (the driver keeps only the final JSON line
+        # plus a short tail — every byte of the headline counts)
         from pangene_tpu.parallel import device_loop
-        result["device_loop"] = device_loop.LAST
+        L = device_loop.LAST
+        result["device_loop"] = {
+            k: L[k] for k in ("engaged", "pack_s", "upload_s", "run_s",
+                              "pull_s") if k in L}
         result["host_stages"] = dict(util.stage_stats)
     if is_child:
         print(json.dumps(result))

@@ -685,9 +685,17 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     # backend (where block_until_ready does not actually block)
     overflow_flag = bool(np.asarray(outs[-1]))
     t_pull0 = time.monotonic()
-    # first four outputs are genome-sharded; the rest replicated
+    # first four outputs are genome-sharded; the rest replicated. The
+    # #del capture planes (outs[15:19], O(R*S) — ~3.4 MB at big shapes)
+    # are part of every program (single variant per shape) but only
+    # PULLED when the verbosity will actually replay them.
+    from .. import util
+    pull_dcap = util.verbose >= 3
     host = [pull_global(o) for o in outs[:4]] \
-        + [np.asarray(o) for o in outs[4:]]
+        + [np.asarray(o) for o in outs[4:15]] \
+        + ([np.asarray(o) for o in outs[15:19]] if pull_dcap
+           else [np.zeros((0,) + o.shape[1:], o.dtype) for o in outs[15:19]]) \
+        + [np.asarray(outs[19])]
     t_pull1 = time.monotonic()
     (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_s1,
      arc_ng, arc_tot, arc_ad, arc_s2, loci_fin, logs,
