@@ -22,17 +22,17 @@ def save_dataset(d: DataSet, path: str) -> None:
     meta = {
         "n_genome": d.n_genome,
         "gene_name": d.gene_name,
-        "gene_len": d.gene_len,
-        "gene_preferred": d.gene_preferred,
-        "gene_included": d.gene_included,
-        "gene_rep_pid": d.gene_rep_pid,
+        "gene_len": np.asarray(d.gene_len).tolist(),
+        "gene_preferred": np.asarray(d.gene_preferred).tolist(),
+        "gene_included": np.asarray(d.gene_included).tolist(),
+        "gene_rep_pid": np.asarray(d.gene_rep_pid).tolist(),
         "prot_name": d.prot_name,
-        "prot_len": d.prot_len,
-        "prot_gid": d.prot_gid,
-        "prot_rep": d.prot_rep,
-        "prot_n": d.prot_n,
-        "prot_avg_score_adj": d.prot_avg_score_adj,
-        "prot_max_score_ori": d.prot_max_score_ori,
+        "prot_len": np.asarray(d.prot_len).tolist(),
+        "prot_gid": np.asarray(d.prot_gid).tolist(),
+        "prot_rep": np.asarray(d.prot_rep).tolist(),
+        "prot_n": np.asarray(d.prot_n).tolist(),
+        "prot_avg_score_adj": np.asarray(d.prot_avg_score_adj).tolist(),
+        "prot_max_score_ori": np.asarray(d.prot_max_score_ori).tolist(),
         "ctg_id_order": list(d.ctg_id.keys()),
         "labels": [g.label for g in d.genomes],
         "ctg_names": [g.ctg_names for g in d.genomes],
@@ -53,17 +53,17 @@ def load_dataset(path: str) -> DataSet:
     meta = json.loads(bytes(z["__meta__"]).decode())
     d = DataSet.new()
     d.gene_name = meta["gene_name"]
-    d.gene_len = meta["gene_len"]
-    d.gene_preferred = meta["gene_preferred"]
-    d.gene_included = meta["gene_included"]
-    d.gene_rep_pid = meta["gene_rep_pid"]
+    d.gene_len = np.asarray(meta["gene_len"], np.int64)
+    d.gene_preferred = np.asarray(meta["gene_preferred"], np.uint8)
+    d.gene_included = np.asarray(meta["gene_included"], np.uint8)
+    d.gene_rep_pid = np.asarray(meta["gene_rep_pid"], np.int64)
     d.prot_name = meta["prot_name"]
-    d.prot_len = meta["prot_len"]
-    d.prot_gid = meta["prot_gid"]
-    d.prot_rep = meta["prot_rep"]
-    d.prot_n = meta["prot_n"]
-    d.prot_avg_score_adj = meta["prot_avg_score_adj"]
-    d.prot_max_score_ori = meta["prot_max_score_ori"]
+    d.prot_len = np.asarray(meta["prot_len"], np.int64)
+    d.prot_gid = np.asarray(meta["prot_gid"], np.int32)
+    d.prot_rep = np.asarray(meta["prot_rep"], np.uint8)
+    d.prot_n = np.asarray(meta["prot_n"], np.int64)
+    d.prot_avg_score_adj = np.asarray(meta["prot_avg_score_adj"], np.int64)
+    d.prot_max_score_ori = np.asarray(meta["prot_max_score_ori"], np.int32)
     d.gene_id = {n: i for i, n in enumerate(d.gene_name)}
     d.prot_id = {n: i for i, n in enumerate(d.prot_name)}
     d.ctg_id = {n: i for i, n in enumerate(meta["ctg_id_order"])}

@@ -358,55 +358,49 @@ def _read_paf_native(opt: PgOpt, d: DataSet, fn: str) -> Optional[Genome]:
         return None
     n_gene1, n_prot1 = sess.counts()
     if n_gene1 > n_gene0:
-        for name in sess.names_tail(0, n_gene0, n_gene1):
-            gid = len(d.gene_name)
-            d.gene_id[name] = gid
-            d.gene_name.append(name)
-            d.gene_len.append(0)
-            d.gene_preferred.append(
-                1 if (opt.preferred and name in opt.preferred) else 0)
-            d.gene_included.append(
-                1 if (opt.incl and name in opt.incl) else 0)
-            d.gene_rep_pid.append(-1)
+        names = sess.names_tail(0, n_gene0, n_gene1)
+        base = len(d.gene_name)
+        for i, name in enumerate(names):
+            d.gene_id[name] = base + i
+        d.gene_name.extend(names)
+        k = len(names)
+        d.gene_len.extend_zeros(k)
+        if opt.preferred:
+            d.gene_preferred.extend(
+                [1 if name in opt.preferred else 0 for name in names])
+        else:
+            d.gene_preferred.extend_zeros(k)
+        if opt.incl:
+            d.gene_included.extend(
+                [1 if name in opt.incl else 0 for name in names])
+        else:
+            d.gene_included.extend_zeros(k)
+        d.gene_rep_pid.extend_zeros(k, fill=-1)
     pgarr = sess.prot_gid(n_prot1)
     if n_prot1 > n_prot0:
-        gid_tail = pgarr[n_prot0:]
-        for i, name in enumerate(sess.names_tail(1, n_prot0, n_prot1)):
-            pid = len(d.prot_name)
-            d.prot_id[name] = pid
-            d.prot_name.append(name)
-            d.prot_len.append(0)
-            d.prot_gid.append(int(gid_tail[i]))
-            d.prot_rep.append(0)
-            d.prot_n.append(0)
-            d.prot_avg_score_adj.append(0)
-            d.prot_max_score_ori.append(0)
+        names = sess.names_tail(1, n_prot0, n_prot1)
+        base = len(d.prot_name)
+        for i, name in enumerate(names):
+            d.prot_id[name] = base + i
+        d.prot_name.extend(names)
+        k = len(names)
+        d.prot_len.extend_zeros(k)
+        d.prot_gid.extend(pgarr[n_prot0:])
+        d.prot_rep.extend_zeros(k)
+        d.prot_n.extend_zeros(k)
+        d.prot_avg_score_adj.extend_zeros(k)
+        d.prot_max_score_ori.extend_zeros(k)
     return _apply_native(opt, d, fn, nat)
-
-
-def _np_mirror(d: DataSet, attr: str) -> np.ndarray:
-    """Cached int64 numpy mirror of a grow-only int list, rebuilt whenever
-    the list length changed (appends happen between files). Within the
-    native parse flow the ONLY same-length writers are the blocks below,
-    which update list and mirror together — any new writer must do the
-    same or drop the mirror (delattr)."""
-    key = "_np_" + attr
-    lst = getattr(d, attr)
-    arr = getattr(d, key, None)
-    if arr is None or len(arr) != len(lst):
-        arr = np.asarray(lst, np.int64)
-        setattr(d, key, arr)
-    return arr
 
 
 def _apply_native(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
     """Common tail of the native-parse merge: per-file global side effects
     + hit-table assembly. r_name/h_name must carry GLOBAL protein ids."""
-    pgarr = np.asarray(d.prot_gid, np.int32)
+    pgarr = d.prot_gid.view()
     # prot_len: last record per name wins; missing field-1 records reset to 0.
     # All reductions are group-wise over the FILE's names only (sorted-run
-    # reduceat against cached numpy mirrors of the grow-only tables —
-    # per-item list access here measured ~10% of the host run).
+    # reduceat + vector scatter into the IntVec windows — the per-record
+    # Python write-back loop here measured ~7% of the host run).
     r_name = nat["r_name"]
     r_qlen = nat["r_qlen"]
     if len(r_name):
@@ -415,12 +409,7 @@ def _apply_native(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
         last = order[np.flatnonzero(np.concatenate((ns[1:] != ns[:-1], [True])))]
         tgt = r_name[last]
         newv = np.maximum(r_qlen[last].astype(np.int64), 0)
-        pl = _np_mirror(d, "prot_len")
-        diff = np.flatnonzero(pl[tgt] != newv)
-        if len(diff):
-            pl[tgt[diff]] = newv[diff]
-            for k in diff:
-                d.prot_len[int(tgt[k])] = int(newv[k])
+        d.prot_len.view()[tgt] = newv
         # gene_len = max over records with a parsed qlen
         has = r_qlen >= 0
         if has.any():
@@ -431,12 +420,8 @@ def _apply_native(opt: PgOpt, d: DataSet, fn: str, nat: dict) -> Genome:
             starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
             gmax = np.maximum.reduceat(q[o2], starts)
             ug = gs[starts]
-            gl = _np_mirror(d, "gene_len")
-            diff = np.flatnonzero(gmax > gl[ug])
-            if len(diff):
-                gl[ug[diff]] = gmax[diff]
-                for k in diff:
-                    d.gene_len[int(ug[k])] = int(gmax[k])
+            gl = d.gene_len.view()
+            np.maximum.at(gl, ug, gmax)
     # contigs: per-file table; register names globally; len = last record's
     ctg_names = nat["ctg_names"]
     for name in ctg_names:

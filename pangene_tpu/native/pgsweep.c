@@ -760,6 +760,11 @@ static int64_t agg_merge_pair(const agg_t *a, int64_t na,
     return m;
 }
 
+static int64_t merge_tree_core(
+    int32_t n_src, const int64_t *offs, agg_t *A, agg_t *B,
+    uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
+    int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2);
+
 int64_t pg_merge_arcs_tree(
     int32_t n_src, const int64_t *offs,
     const uint64_t *x, const int32_t *n,
@@ -769,11 +774,8 @@ int64_t pg_merge_arcs_tree(
 {
     int64_t total = n_src ? offs[n_src] : 0;
     size_t capb = (size_t)(total ? total : 1) * sizeof(agg_t);
-    agg_t *A = (agg_t *)malloc(capb), *B = (agg_t *)malloc(capb), *T;
-    int64_t *lo = (int64_t *)malloc(((size_t)n_src + 2) * 8);
-    int64_t *lo2 = (int64_t *)malloc(((size_t)n_src + 2) * 8);
+    agg_t *A = (agg_t *)malloc(capb), *B = (agg_t *)malloc(capb);
     int64_t k, m;
-    int32_t L = n_src, s;
     for (k = 0; k < total; ++k) {
         A[k].x = x[k];
         A[k].ng = 1;
@@ -782,6 +784,64 @@ int64_t pg_merge_arcs_tree(
         A[k].s1s = s1[k];
         A[k].s2s = s2[k];
     }
+    m = merge_tree_core(n_src, offs, A, B, out_x, out_ng, out_tot,
+                        out_avg_dist, out_s1, out_s2);
+    free(A); free(B);
+    return m;
+}
+
+/* Pointer-array variant: per-source slices live in THEIR OWN buffers
+ * (the per-genome memo arrays), so the caller skips concatenating ~MBs
+ * per round just to satisfy the flat-input API. counts[s] is source s's
+ * length; offs are derived here. */
+int64_t pg_merge_arcs_tree_p(
+    int32_t n_src, const int64_t *counts,
+    const uint64_t *const *xs, const int32_t *const *ns,
+    const int32_t *const *ds, const int32_t *const *s1s,
+    const int32_t *const *s2s,
+    uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
+    int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2)
+{
+    int64_t *offs = (int64_t *)malloc(((size_t)n_src + 1) * 8);
+    int64_t total = 0, m, k;
+    int32_t s;
+    agg_t *A, *B;
+    size_t capb;
+    offs[0] = 0;
+    for (s = 0; s < n_src; ++s) { total += counts[s]; offs[s + 1] = total; }
+    capb = (size_t)(total ? total : 1) * sizeof(agg_t);
+    A = (agg_t *)malloc(capb);
+    B = (agg_t *)malloc(capb);
+    for (s = 0; s < n_src; ++s) {
+        const uint64_t *x = xs[s];
+        const int32_t *n = ns[s], *dist = ds[s];
+        const int32_t *s1 = s1s[s], *s2 = s2s[s];
+        agg_t *a = A + offs[s];
+        for (k = 0; k < counts[s]; ++k) {
+            a[k].x = x[k];
+            a[k].ng = 1;
+            a[k].tot = n[k];
+            a[k].dsum = (int64_t)dist[k] * n[k];
+            a[k].s1s = s1[k];
+            a[k].s2s = s2[k];
+        }
+    }
+    m = merge_tree_core(n_src, offs, A, B, out_x, out_ng, out_tot,
+                        out_avg_dist, out_s1, out_s2);
+    free(A); free(B); free(offs);
+    return m;
+}
+
+static int64_t merge_tree_core(
+    int32_t n_src, const int64_t *offs, agg_t *A, agg_t *B,
+    uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
+    int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2)
+{
+    int64_t *lo = (int64_t *)malloc(((size_t)n_src + 2) * 8);
+    int64_t *lo2 = (int64_t *)malloc(((size_t)n_src + 2) * 8);
+    agg_t *T;
+    int64_t k, m;
+    int32_t L = n_src, s;
     for (s = 0; s <= n_src; ++s) lo[s] = offs[s];
     while (L > 1) {
         int32_t M = 0;
@@ -815,7 +875,7 @@ int64_t pg_merge_arcs_tree(
         out_s2[k] = (int32_t)(int64_t)(
             (double)A[k].s2s / (double)A[k].ng + 0.499);
     }
-    free(A); free(B); free(lo); free(lo2);
+    free(lo); free(lo2);   /* A/B are the callers' to free */
     return m;
 }
 

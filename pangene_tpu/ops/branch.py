@@ -34,7 +34,7 @@ def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
     mark_branch_flt_arc memo."""
     G = d.n_genome
     ng = d.n_gene
-    prot_gid = np.asarray(d.prot_gid, np.int32)
+    prot_gid = None   # converted lazily, only by the NumPy fallback path
     present = np.zeros((G, ng), bool)
     cid = np.zeros((G, ng), np.int32)
     rank = np.zeros((G, ng), np.int32)
@@ -54,6 +54,8 @@ def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
                 keep = np.flatnonzero((h.shadow == 0) & (h.flt == 0))
                 row = None
                 if len(keep):
+                    if prot_gid is None:
+                        prot_gid = np.asarray(d.prot_gid, np.int32)
                     gids = prot_gid[h.pid[keep]]
                     ranks = np.arange(len(keep), dtype=np.int32)
                     # last kept hit of each gene wins: final element of

@@ -161,20 +161,22 @@ def flag_representative(d: DataSet, z=None) -> None:
     ssum = (z >> U64(32)).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         avg = np.where(cnt > 0, (ssum / np.maximum(cnt, 1) + 0.499), 0.0)
-    d.prot_n = cnt.tolist()
-    d.prot_avg_score_adj = avg.astype(np.int64).astype(np.int32).tolist()
-    # stable ascending sort by z; descending scan => among equal z the highest
-    # pid wins (vertex.c counterpart relies on this order)
+    d.prot_n = cnt
+    d.prot_avg_score_adj = avg.astype(np.int64).astype(np.int32) \
+        .astype(np.int64)
+    # stable ascending sort by z, consumed in DESCENDING order => among
+    # equal z the highest pid wins (vertex.c counterpart relies on this);
+    # first-seen gid in that order takes the gene's representative
     order = np.argsort(z, kind="stable")
-    d.gene_rep_pid = [-1] * d.n_gene
+    rev = order[::-1].astype(np.int64)
+    gids_desc = np.asarray(d.prot_gid, np.int64)[rev]
+    ug, first = np.unique(gids_desc, return_index=True)
+    rep_pid = np.full(d.n_gene, -1, np.int64)
+    rep_pid[ug] = rev[first]
+    d.gene_rep_pid = rep_pid
     prot_rep = np.zeros(n_prot, np.uint8)
-    for i in range(n_prot - 1, -1, -1):
-        pid = int(order[i])
-        gid = d.prot_gid[pid]
-        if d.gene_rep_pid[gid] < 0:
-            d.gene_rep_pid[gid] = pid
-            prot_rep[pid] = 1
-    d.prot_rep = prot_rep.tolist()
+    prot_rep[rev[first]] = 1
+    d.prot_rep = prot_rep
     for g in d.genomes:
         h = g.hits
         h.rep[:] = prot_rep[h.pid]
@@ -187,7 +189,7 @@ def cap_score_dom(d: DataSet, mx=None) -> None:
         mx = np.zeros(d.n_prot, np.int32)
         for g in d.genomes:
             np.maximum.at(mx, g.hits.pid, g.hits.score_ori)
-    d.prot_max_score_ori = mx.tolist()
+    d.prot_max_score_ori = mx
     for g in d.genomes:
         h = g.hits
         h.set("score_dom", np.minimum(h.score_dom, mx[h.pid]))

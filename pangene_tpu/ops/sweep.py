@@ -46,8 +46,11 @@ def hash_uint32(key: int) -> int:
 
 
 def packed_score(score_adj: int, preferred: int, pid_hash: int) -> int:
-    """(uint64)score_adj<<33 | preferred<<32 | hash(pid) (overlap.c:82-83)."""
-    return (((score_adj % (1 << 64)) << 33) & MASK64) | (preferred << 32) | pid_hash
+    """(uint64)score_adj<<33 | preferred<<32 | hash(pid) (overlap.c:82-83).
+    Arguments may arrive as numpy scalars (IntVec tables) — coerce to
+    Python ints so the shifts are unbounded."""
+    return ((((int(score_adj)) % (1 << 64)) << 33) & MASK64) \
+        | (int(preferred) << 32) | int(pid_hash)
 
 
 def iter_windows(h, skip_flt_i: bool = True) -> Iterator[Tuple[int, int]]:

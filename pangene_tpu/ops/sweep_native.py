@@ -123,6 +123,13 @@ def _get_lib():
         ]
         lib.pg_merge_arcs_tree.restype = ctypes.c_int64
         lib.pg_merge_arcs_tree.argtypes = lib.pg_merge_arcs_kway.argtypes
+        lib.pg_merge_arcs_tree_p.restype = ctypes.c_int64
+        lib.pg_merge_arcs_tree_p.argtypes = [
+            ctypes.c_int32, _i64p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            _u64p, _i32p, _i32p, _i32p, _i32p, _i32p,
+        ]
         lib.pg_gen_vtx_greedy.restype = ctypes.c_int64
         lib.pg_gen_vtx_greedy.argtypes = [
             ctypes.c_int32, ctypes.c_int32,
@@ -205,20 +212,42 @@ def _p(a: np.ndarray, dt, pt=None):
 
 
 def _hit_addrs(h):
-    """Per-table cache of every column's buffer address, keyed on the
-    physical version (HitTable.set/permute bump _ver, so a replaced or
-    permuted column invalidates). The table itself holds the arrays, so
-    the addresses stay live for any C call made while it exists. Saves
-    ~30 ctypes address extractions per round_genome call (~5% of the
-    host engine's wall time at bench scale)."""
+    """Identity-keyed per-column address cache: an entry is recomputed
+    only when that column's ndarray OBJECT was replaced (set()/permute()
+    swap arrays; in-place writes keep the buffer). The cache holds
+    references to the arrays, which both keeps every address alive for
+    the duration of any C call and makes the `is` check sound (a live
+    reference cannot be collected and its identity reused). A
+    version-keyed predecessor re-extracted all ~30 addresses whenever ANY
+    column changed — measured ~15% of host wall at bench scale because
+    flt/weak refresh every round."""
     ver = getattr(h, "_ver", 0)
-    cache = getattr(h, "_addr_cache", None)
-    if cache is None or cache[0] != ver:
-        if _DEBUG_PTRS:
-            for k, a in h.cols.items():
+    snap = getattr(h, "_addr_snap", None)
+    if snap is None:
+        snap = ({}, {}, [None])
+        h._addr_snap = snap
+    arrs, addr, seen_ver = snap
+    if seen_ver[0] == ver:      # no set()/permute() since last extraction
+        return addr
+    for k, a in h.cols.items():
+        if arrs.get(k) is not a:
+            if _DEBUG_PTRS:
                 assert a.flags.c_contiguous, k
-        cache = (ver, {k: a.ctypes.data for k, a in h.cols.items()})
-        h._addr_cache = cache
+            arrs[k] = a
+            addr[k] = a.ctypes.data
+    seen_ver[0] = ver
+    return addr
+
+
+def _addr_of(owner, attr: str, a: np.ndarray) -> int:
+    """Identity-keyed single-array address cache on `owner`. Holds a
+    reference to `a` (keeps the buffer alive for the C call)."""
+    cache = getattr(owner, attr, None)
+    if cache is None or cache[0] is not a:
+        if _DEBUG_PTRS:
+            assert a.flags.c_contiguous
+        cache = (a, a.ctypes.data)
+        setattr(owner, attr, cache)
     return cache[1]
 
 
@@ -236,7 +265,8 @@ def _exon_ptrs(g: Genome):
     eos, eoe = g.exon_os, g.exon_oe
     if len(eos) == 0:     # never dereferenced when all n_exon == 0
         eos = eoe = _EMPTY_I32
-    return _p(eos, np.int32, _i32p), _p(eoe, np.int32, _i32p)
+    return (_addr_of(g, "_eos_addr", eos),
+            _addr_of(g, "_eoe_addr", eoe))
 
 
 def _globals(d: DataSet):
@@ -264,21 +294,22 @@ def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
         return 0
     pg, gp = _globals(d)
     eos, eoe = _exon_ptrs(g)
+    ad = _hit_addrs(h)
     return int(lib.pg_sweep_shadow(
         n,
-        _p(h.pid, np.int32, _i32p), _p(h.rank, np.int32, _i32p),
-        _p(h.score_adj, np.int32, _i32p), _p(h.score_ori, np.int32, _i32p),
-        _p(h.n_exon, np.int32, _i32p), _p(h.off_exon, np.int32, _i32p),
-        _p(h.cid, np.int32, _i32p),
-        _p(h.rev, np.uint8, _u8p), _p(h.flt, np.uint8, _u8p),
-        _p(h.weak_br, np.uint8, _u8p),
-        _p(h.cs, np.int64, _i64p), _p(h.ce, np.int64, _i64p),
+        ad["pid"], ad["rank"],
+        ad["score_adj"], ad["score_ori"],
+        ad["n_exon"], ad["off_exon"],
+        ad["cid"],
+        ad["rev"], ad["flt"],
+        ad["weak_br"],
+        ad["cs"], ad["ce"],
         eos, eoe,
-        _p(pg, np.int32, _i32p), _p(gp, np.uint8, _u8p),
+        _addr_of(d, "_pg_addr", pg), _addr_of(d, "_gp_addr", gp),
         1 if opt.check_strand else 0, float(opt.min_ov_ratio),
         1 if cal_dom_sc else 0,
-        _p(h.shadow, np.uint8, _u8p),
-        _p(h.pid_dom, np.int32, _i32p), _p(h.score_dom, np.int32, _i32p)))
+        ad["shadow"],
+        ad["pid_dom"], ad["score_dom"]))
 
 
 def n_local_batch(opt: PgOpt, rep_pos, g1: np.ndarray,
@@ -400,12 +431,13 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
     pg, gp = _globals(d)
     cap = max(2 * (n - 1), 1) if n > 1 else 1
     buf = getattr(gen, "_round_buf", None)
-    if buf is None or len(buf[0]) < cap or len(buf[5]) < max(n_seg, 1):
-        buf = (np.empty(cap, np.uint64), np.empty(cap, np.int32),
-               np.empty(cap, np.int32), np.empty(cap, np.int32),
-               np.empty(cap, np.int32), np.zeros(max(n_seg, 1), np.int32))
+    if buf is None or len(buf[0][0]) < cap or len(buf[0][5]) < max(n_seg, 1):
+        arrs = (np.empty(cap, np.uint64), np.empty(cap, np.int32),
+                np.empty(cap, np.int32), np.empty(cap, np.int32),
+                np.empty(cap, np.int32), np.zeros(max(n_seg, 1), np.int32))
+        buf = (arrs, tuple(a.ctypes.data for a in arrs))
         gen._round_buf = buf
-    out_x, out_n, out_dist, out_s1, out_s2, seg_cnt = buf
+    (out_x, out_n, out_dist, out_s1, out_s2, seg_cnt), buf_addr = buf
     seg_cnt[:n_seg] = 0
     if n == 0:
         return (out_x[:0], out_n[:0], out_dist[:0], out_s1[:0], out_s2[:0],
@@ -413,7 +445,7 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
     eos, eoe = _exon_ptrs(gen)
     g2sc = g2s if (g2s.dtype == np.int32 and g2s.flags.c_contiguous) \
         else _c(g2s, np.int32)
-    vp = _p(view, np.int64, _i64p) if view is not None else None
+    vp = _addr_of(gen, "_view_addr", view) if view is not None else None
     # per-genome packed hot table: constants survive across rounds, only
     # flt/weak refresh; invalidated when the table is physically permuted.
     # Managed ONLY when the sweep actually runs — C packs it then; a
@@ -440,7 +472,7 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
         ad["weak_br"],
         ad["cs"], ad["ce"],
         eos, eoe,
-        _p(pg, np.int32, _i32p), _p(gp, np.uint8, _u8p),
+        _addr_of(d, "_pg_addr", pg), _addr_of(d, "_gp_addr", gp),
         1 if opt.check_strand else 0, float(opt.min_ov_ratio),
         ad["shadow"],
         ad["pid_dom"], ad["score_dom"],
@@ -449,10 +481,10 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
         ad["cm"],
         ad["pid_dom0"],
         _p(g2sc, np.int32, _i32p),
-        1 if use_ori else 0, n_seg, _p(seg_cnt, np.int32, _i32p),
-        _p(out_x, np.uint64, _u64p), _p(out_n, np.int32, _i32p),
-        _p(out_dist, np.int32, _i32p),
-        _p(out_s1, np.int32, _i32p), _p(out_s2, np.int32, _i32p),
+        1 if use_ori else 0, n_seg, buf_addr[5],
+        buf_addr[0], buf_addr[1],
+        buf_addr[2],
+        buf_addr[3], buf_addr[4],
         hot_ptr, 1 if hot_valid else 0))
     assert m >= 0, "kept hit maps to deleted segment"
     return (out_x[:m], out_n[:m], out_dist[:m], out_s1[:m], out_s2[:m],
@@ -461,25 +493,33 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
 
 def rep_pos_rows(d: DataSet, gen: Genome):
     """Native per-genome representative positions: compact
-    (gid, cid, kept-rank, cm) rows for each gene with a kept hit."""
+    (gid, cid, kept-rank, cm) rows for each gene with a kept hit.
+    Output buffers are per-genome scratch reused across rounds — the
+    single-slot memo in branch.gen_rep_pos replaces its stored rows
+    whenever this is re-entered for the genome, so no stale slice
+    outlives the overwrite."""
     lib = _get_lib()
     h = gen.hits
     n = len(h)
     pg, _ = _globals(d)
     cap = max(min(n, d.n_gene), 1)
-    og = np.empty(cap, np.int32)
-    oc = np.empty(cap, np.int32)
-    orr = np.empty(cap, np.int32)
-    om = np.empty(cap, np.int64)
+    buf = getattr(gen, "_rep_buf", None)
+    if buf is None or len(buf[0][0]) < cap:
+        arrs = (np.empty(cap, np.int32), np.empty(cap, np.int32),
+                np.empty(cap, np.int32), np.empty(cap, np.int64))
+        buf = (arrs, tuple(a.ctypes.data for a in arrs))
+        gen._rep_buf = buf
+    (og, oc, orr, om), ba = buf
     if n == 0:
         return None
+    ad = _hit_addrs(h)
     m = int(lib.pg_rep_pos(
-        n, _p(h.flt, np.uint8, _u8p), _p(h.shadow, np.uint8, _u8p),
-        _p(h.pid, np.int32, _i32p), _p(h.cid, np.int32, _i32p),
-        _p(h.cm, np.int64, _i64p),
-        _p(pg, np.int32, _i32p), d.n_gene,
-        _p(og, np.int32, _i32p), _p(oc, np.int32, _i32p),
-        _p(orr, np.int32, _i32p), _p(om, np.int64, _i64p)))
+        n, ad["flt"], ad["shadow"],
+        ad["pid"], ad["cid"],
+        ad["cm"],
+        _addr_of(d, "_pg_addr", pg), d.n_gene,
+        ba[0], ba[1],
+        ba[2], ba[3]))
     if m == 0:
         return None
     return og[:m], oc[:m], orr[:m], om[:m]
@@ -502,16 +542,30 @@ def merge_arcs_kway(per_genome):
     os2 = np.empty(cap, np.int32)
     if n_in == 0:
         return ox[:0], ong[:0], otot[:0], oavg[:0], os1[:0], os2[:0]
+    # tree merge (sequential scans, early aggregation) wins while the
+    # working set is cache-resident; the k-way heap's smaller footprint
+    # wins at millions of rows (measured crossover ~0.5M). The tree path
+    # takes per-source POINTERS (pg_merge_arcs_tree_p), so the ~MBs/round
+    # of np.concatenate the flat API needed are gone.
+    if n_in < 500_000:
+        n_src = len(per_genome)
+        counts = np.array([len(p[0]) for p in per_genome], np.int64)
+        PTRS = ctypes.c_void_p * n_src
+        ptrs = [PTRS(*(p[c].ctypes.data for p in per_genome))
+                for c in range(5)]
+        m = int(lib.pg_merge_arcs_tree_p(
+            n_src, _p(counts, np.int64, _i64p),
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4],
+            _p(ox, np.uint64, _u64p), _p(ong, np.int32, _i32p),
+            _p(otot, np.int32, _i32p), _p(oavg, np.int32, _i32p),
+            _p(os1, np.int32, _i32p), _p(os2, np.int32, _i32p)))
+        return ox[:m], ong[:m], otot[:m], oavg[:m], os1[:m], os2[:m]
     x = np.concatenate([p[0] for p in per_genome])
     n = np.concatenate([p[1] for p in per_genome])
     dist = np.concatenate([p[2] for p in per_genome])
     s1 = np.concatenate([p[3] for p in per_genome])
     s2 = np.concatenate([p[4] for p in per_genome])
-    # tree merge (sequential scans, early aggregation) wins while the
-    # working set is cache-resident; the k-way heap's smaller footprint
-    # wins at millions of rows (measured crossover ~0.5M)
-    fn = lib.pg_merge_arcs_tree if n_in < 500_000 else lib.pg_merge_arcs_kway
-    m = int(fn(
+    m = int(lib.pg_merge_arcs_kway(
         len(per_genome), _p(offs, np.int64, _i64p),
         _p(x, np.uint64, _u64p), _p(n, np.int32, _i32p),
         _p(dist, np.int32, _i32p),
@@ -606,15 +660,16 @@ def propagate_weak_hash(d: DataSet, gen: Genome, g2s: np.ndarray,
     pg, _ = _globals(d)
     g2sc = g2s if (g2s.dtype == np.int32 and g2s.flags.c_contiguous) \
         else _c(g2s, np.int32)
-    vp = _p(view, np.int64, _i64p) if view is not None else None
+    vp = _addr_of(gen, "_view_addr", view) if view is not None else None
+    ad = _hit_addrs(h)
     lib.pg_propagate_weak_hash(
         n, vp,
-        _p(h.flt, np.uint8, _u8p), _p(h.shadow, np.uint8, _u8p),
-        _p(h.pid, np.int32, _i32p), _p(h.rev, np.uint8, _u8p),
-        _p(h.cid, np.int32, _i32p),
-        _p(pg, np.int32, _i32p), _p(g2sc, np.int32, _i32p),
+        ad["flt"], ad["shadow"],
+        ad["pid"], ad["rev"],
+        ad["cid"],
+        _addr_of(d, "_pg_addr", pg), _p(g2sc, np.int32, _i32p),
         len(keys), _p(keys, np.uint64, _u64p), _p(vals, np.uint8, _u8p),
-        _p(h.weak_br, np.uint8, _u8p))
+        ad["weak_br"])
 
 
 def format_arcs(d: DataSet, seg_gid: np.ndarray, arcs) -> str:
