@@ -203,31 +203,50 @@ static int64_t sweep_shadow_core(
     int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
     uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom)
 {
-    int64_t i, i0 = 0, n_shadow = 0;
+    int64_t i, a, b0 = 0, nl = 0, n_shadow = 0;
     int64_t *tmp_ov;
     uint64_t *tmp_score;
     int32_t *tmp_aid;
+    hot_t *hl;
+    int64_t *orig;
     if (n == 0) return 0;
     tmp_ov = (int64_t *)calloc(n, 8);
     tmp_score = (uint64_t *)calloc(n, 8);
     tmp_aid = (int32_t *)calloc(n, 4);
-    for (i = 1; i < n; ++i) {
-        int64_t j;
-        const hot_t hi_r = ht[i];
+    /* Sweep over the LIVE (unfiltered) sublist only: the reference scans
+     * every j and skips flt inside the loop, but flt never changes during
+     * a sweep, and the monotone window start restricted to live hits is
+     * path-identical (within a cid the predicate ce>cs only hardens as cs
+     * grows; a cid change fails every previous-contig hit for both), so
+     * the evaluated pair set and order are exactly the reference's. In
+     * late pruning rounds a large fraction of hits is filtered and the
+     * quadratic window work shrinks accordingly. */
+    hl = (hot_t *)malloc((n ? n : 1) * sizeof(hot_t));
+    orig = (int64_t *)malloc((n ? n : 1) * 8);
+    for (i = 0; i < n; ++i) {
+        if (ht[i].flt) continue;
+        hl[nl] = ht[i];
+        orig[nl] = i;
+        ++nl;
+    }
+    for (a = 0; a < nl; ++a) {
+        int64_t b;
+        const hot_t hi_r = hl[a];
         uint64_t si;
         int32_t wi;
-        if (hi_r.flt) continue;
-        while (i0 < i && !(ht[i0].cid == hi_r.cid && ht[i0].ce > hi_r.cs))
-            ++i0;
+        i = orig[a];
+        if (i < 1) continue;   /* hit 0 is never evaluated as i */
+        while (b0 < a && !(hl[b0].cid == hi_r.cid && hl[b0].ce > hi_r.cs))
+            ++b0;
         shadow[i] = 0;
         si = hi_r.pscore;
         wi = hi_r.weak;
-        for (j = i0; j < i; ++j) {
-            const hot_t *hj = &ht[j];
-            int64_t ov, loser, winner;
+        for (b = b0; b < a; ++b) {
+            const hot_t *hj = &hl[b];
+            int64_t ov, j, loser, winner;
             uint64_t sj;
             int32_t wj;
-            if (hj->ce <= hi_r.cs || hj->flt) continue;
+            if (hj->ce <= hi_r.cs) continue;
             if (hj->cid != hi_r.cid) continue;
             if (check_strand && hi_r.rev != hj->rev) continue;
             ov = ov_len(eos, eoe, hj->cs, hj->off_exon, hj->n_exon,
@@ -237,6 +256,7 @@ static int64_t sweep_shadow_core(
                 int64_t m = hi_r.len < hj->len ? hi_r.len : hj->len;
                 if ((double)ov / (double)m < min_ov_ratio) continue;
             }
+            j = orig[b];
             sj = hj->pscore;
             wj = hj->weak;
             if (hi_r.gid == hj->gid || wi == wj)
@@ -253,6 +273,7 @@ static int64_t sweep_shadow_core(
             }
         }
     }
+    free(hl); free(orig);
     for (i = 0; i < n; ++i) {
         if (flt[i]) continue;
         pid_dom[i] = -1;

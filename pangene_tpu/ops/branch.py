@@ -35,10 +35,17 @@ def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
     G = d.n_genome
     ng = d.n_gene
     prot_gid = None   # converted lazily, only by the NumPy fallback path
-    present = np.zeros((G, ng), bool)
-    cid = np.zeros((G, ng), np.int32)
-    rank = np.zeros((G, ng), np.int32)
-    cm = np.zeros((G, ng), np.int64)
+    # persistent [G, ng] planes: a genome's row is rewritten ONLY when its
+    # (flt, shadow) state changed since the last call — unchanged rows
+    # (the common case in converged rounds) cost nothing
+    planes = getattr(d, "_rep_planes", None)
+    if planes is None or planes[0].shape != (G, ng):
+        planes = (np.zeros((G, ng), bool), np.zeros((G, ng), np.int32),
+                  np.zeros((G, ng), np.int32), np.zeros((G, ng), np.int64))
+        d._rep_planes = planes
+        for gen in d.genomes:
+            gen._rep_row_ver = None
+    present, cid, rank, cm = planes
     versions = []
     for j, gen in enumerate(d.genomes):
         h = gen.hits
@@ -68,12 +75,15 @@ def gen_rep_pos(d: DataSet) -> Tuple[np.ndarray, ...]:
                            h.cm[keep[last]])
             ver = (memo[2] + 1) if memo is not None else 0
             gen._rep_pos_memo = (key, row, ver)
-        if row is not None:
-            gl, cl, rl, ml = row
-            present[j, gl] = True
-            cid[j, gl] = cl
-            rank[j, gl] = rl
-            cm[j, gl] = ml
+        if getattr(gen, "_rep_row_ver", None) != ver:
+            present[j].fill(False)
+            if row is not None:
+                gl, cl, rl, ml = row
+                present[j, gl] = True
+                cid[j, gl] = cl
+                rank[j, gl] = rl
+                cm[j, gl] = ml
+            gen._rep_row_ver = ver
         versions.append(ver)
     return (present, cid, rank, cm), tuple(versions)
 
