@@ -28,6 +28,14 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 import numpy as np
 
 
+def _dump(out) -> None:
+    """Write TPU_GATE.json NOW — each completed section's evidence must
+    survive a later plugin crash (the experimental axon PJRT has
+    segfaulted after hours of big-shape work; lesson of round 3)."""
+    with open(os.path.join(ROOT, "TPU_GATE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def main() -> int:
     import jax
     out = {"device": str(jax.devices()[0]),
@@ -81,6 +89,7 @@ def main() -> int:
         n_fuzz += 1
     out["checks"]["pallas_mosaic_fuzz"] = "%d kernel runs vs oracle" % n_fuzz
     out["timings_s"]["pallas_fuzz"] = round(time.monotonic() - t0, 2)
+    _dump(out)
 
     # ---- 2. jax engine on C4, byte-identical ----
     golden = open(os.path.join(ROOT, "tests/golden/C4.gfa")).read()
@@ -92,6 +101,7 @@ def main() -> int:
     assert buf.getvalue() == golden, "jax engine C4 mismatch"
     out["checks"]["jax_engine_c4"] = "byte-identical"
     out["timings_s"]["jax_c4"] = round(time.monotonic() - t0, 2)
+    _dump(out)
 
     # ---- 3. sharded + host engines on the bench corpus ----
     import tempfile
@@ -136,6 +146,7 @@ def main() -> int:
     out["checks"]["sharded_vs_host_md5"] = "identical (%s)" \
         % md5s["host"][:8]
     out["n_records"] = n_rec
+    _dump(out)
 
     # ---- 4. BIG corpus (64 genomes / 1.3M records) through the device-
     # resident schedule on the real chip (VERDICT r2 item 1): the ~200MB
@@ -151,10 +162,12 @@ def main() -> int:
         bfiles = sorted(os.path.join(big, f) for f in os.listdir(big)
                         if f.endswith(".paf.gz"))
         n_big = sum(sum(1 for _ in gzip.open(f)) for f in bfiles)
+        util.verbose = 3   # stderr progress — locates any plugin crash
         t0 = time.monotonic()
         buf = io.StringIO()
         pipeline.run(PgOpt(engine="sharded"), bfiles, out=buf)
         dt = time.monotonic() - t0
+        util.verbose = 0
         assert device_loop.LAST.get("engaged"), device_loop.LAST
         md5_big = hashlib.md5(buf.getvalue().encode()).hexdigest()
         assert md5_big == "b988fc85e7633316be354ab315a0449c", md5_big
