@@ -647,6 +647,16 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
             deg_cut[r_] = int(opt.max_degree * rr + 0.499)
             loci_cut[r_] = int(opt.max_dist_loci * rr + 0.499)
 
+    # profiling aid (scripts/tpu_roundprof.py): selectively disable round
+    # blocks to attribute device time — INPUT values only, so the same
+    # compiled program runs and no reference exactness is claimed
+    import os as _os2
+    disable = _os2.environ.get("PANGENE_DEVLOOP_DISABLE", "")
+    if "branch" in disable:
+        do_branch[:] = False
+    if "occ" in disable:
+        do_occ[:] = False
+
     cfg = Cfg(H=H, K=K, W=W, S=S, A=A, D=D, B=B, GB=GB, n_gene=ngene, R=R,
               G_loc=Gp // nd, check_strand=bool(opt.check_strand),
               use_ori=bool(opt.use_ori_for_branch),

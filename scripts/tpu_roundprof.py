@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Attribute the device-resident schedule's on-chip time to its round
+blocks WITHOUT recompiling: do_branch / do_occ are runtime inputs, so
+zeroing them (PANGENE_DEVLOOP_DISABLE) runs the SAME cached executable
+with lax.cond skipping the block. Differences in the device-loop `run_s`
+attribute time to {branch marking + weak propagation} vs {annealed
+high-occ} vs {sweep + walk/merge} (the always-on remainder).
+
+Run on the real chip:  PYTHONPATH=/root/repo:$PYTHONPATH \
+    python scripts/tpu_roundprof.py [small|big]
+Output md5 is NOT asserted for disabled variants (they are not the
+reference schedule); the baseline variant is.
+"""
+import io
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SCALES = {"small": (32, 2000, 11), "big": (64, 10000, 7)}
+
+
+def one_variant(scale, disable):
+    """Run in a fresh subprocess (jax state) and return its device_loop
+    LAST dict + wall."""
+    code = """
+import io, json, os, sys, time
+sys.path.insert(0, %r)
+from pangene_tpu import pipeline, util
+from pangene_tpu.options import PgOpt
+from pangene_tpu.parallel import device_loop
+util.verbose = 0
+import tempfile
+n_genome, n_gene, seed = %r
+cache = os.path.join(tempfile.gettempdir(),
+                     "pg_bench_%%d_%%d_%%d" %% (n_genome, n_gene, seed))
+files = sorted(os.path.join(cache, f) for f in os.listdir(cache)
+               if f.endswith(".paf.gz"))
+best = None
+for _ in range(2):   # first rep pays trace + executable load
+    t0 = time.monotonic()
+    buf = io.StringIO()
+    pipeline.run(PgOpt(engine="sharded"), files, out=buf)
+    w = time.monotonic() - t0
+    if best is None or w < best[0]:
+        best = (w, dict(device_loop.LAST))
+assert best[1].get("engaged"), best[1]
+print("RESULT " + json.dumps({"wall": round(best[0], 2), "last": best[1]}))
+""" % (ROOT, SCALES[scale])
+    env = dict(os.environ)
+    if disable:
+        env["PANGENE_DEVLOOP_DISABLE"] = disable
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                       timeout=3600)
+    for line in r.stdout.decode().splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError("variant %r failed rc=%d" % (disable, r.returncode))
+
+
+def main():
+    scale = sys.argv[1] if len(sys.argv) > 1 else "small"
+    out = {"scale": scale}
+    for name, dis in (("baseline", ""), ("no_branch", "branch"),
+                      ("no_occ", "occ"), ("no_branch_no_occ", "branch,occ")):
+        got = one_variant(scale, dis)
+        out[name] = {"wall": got["wall"],
+                     "run_s": got["last"].get("run_s"),
+                     "upload_s": got["last"].get("upload_s"),
+                     "pull_s": got["last"].get("pull_s")}
+        print(name, out[name], flush=True)
+    base = out["baseline"]["run_s"]
+    out["attribution_s"] = {
+        "branch_blocks": round(base - out["no_branch"]["run_s"], 2),
+        "occ_blocks": round(base - out["no_occ"]["run_s"], 2),
+        "sweep_walk_merge_rest": round(out["no_branch_no_occ"]["run_s"], 2),
+    }
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(ROOT, "TPU_ROUNDPROF.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
