@@ -336,12 +336,25 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                     cc = jnp.abs(ra - r_rank[:, gb].astype(I64))
                     loc = ok & ((dd <= cfg.local_dist)
                                 | (cc <= cfg.local_count))
-                    anyg = lax.psum(jnp.any(loc, axis=0).astype(jnp.int32),
-                                    "g") > 0
-                    return Lb.at[:, q].set(anyg & in_g)
+                    return Lb.at[:, q].set(jnp.any(loc, axis=0) & in_g)
 
-                Lb = jnp.zeros((A, D), bool)
-                Lb = lax.fori_loop(0, D, loc_q, Lb)
+                # the D-lattice is ~90% dead lanes (typical group size 2-4
+                # vs the static bound D): stop at the round's true max
+                # group size — a traced value from the REPLICATED arc
+                # table, so every shard runs the same trip count and the
+                # collectives stay in lockstep. Lanes >= max_n would have
+                # computed in_g=False exactly as the skipped iterations
+                # leave them. One psum of the whole local plane replaces
+                # D per-lane psums (same bytes, 64x fewer syncs).
+                max_n = jnp.minimum(
+                    jnp.max(jnp.where(branching, n_in_g, 0)), D) \
+                    .astype(jnp.int32)
+                Lb_loc = jnp.zeros((A, D), bool)
+                _, Lb_loc = lax.while_loop(
+                    lambda st: st[0] < max_n,
+                    lambda st: (st[0] + 1, loc_q(st[0], st[1])),
+                    (jnp.int32(0), Lb_loc))
+                Lb = lax.psum(Lb_loc.astype(jnp.int32), "g") > 0
                 qs = jnp.arange(D)
                 mem_all = jnp.clip(gs_of[:, None] + qs[None, :], 0, A - 1)
                 is_max = branching & (arc_s1 == mx)
