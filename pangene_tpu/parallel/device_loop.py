@@ -319,51 +319,63 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 r_rank = takeg(krank)
                 r_cm = takeg(cols["cm"])
                 # pairwise any-genome locality over the group window
-                # (only zero-ness of n_local is ever used: branch.c:76)
+                # (only zero-ness of n_local is ever used: branch.c:76).
+                # Group members are CONTIGUOUS runs in the v-sorted arc
+                # table, so the partner at in-group offset d is index a+d:
+                # a lane ROLL instead of a per-member random gather (TPU
+                # gathers measured ~1 ms per [Gl, A] plane — they were
+                # ~1.0 s of the 4.2 s on-chip schedule). Locality is
+                # symmetric, so only positive offsets run — trip count is
+                # max group size - 1 — accumulating just two [A] planes:
+                #   any-local-vs-a-MAX-arc (the weak-arc test), and
+                #   has-an-EARLIER-local-partner (the n_dist_loci greedy).
+                # The self pair (d=0) is unobservable: it only affects
+                # arcs that are themselves max, which can never be weak
+                # candidates (deficit 0). Roll wraparound pairs fail the
+                # same-group check (equal gs_of requires a whole-table
+                # group, which overflows D and falls back).
                 pa = r_pres[:, tgt_gid]           # [Gl, A], a-side hoisted
                 ca = r_cid[:, tgt_gid]
                 ma = r_cm[:, tgt_gid]
                 ra = r_rank[:, tgt_gid].astype(I64)
+                is_max = branching & (arc_s1 == mx)
 
-                def loc_q(q, Lb):
-                    mem = jnp.clip(gs_of + q, 0, A - 1)
-                    in_g = (q < n_in_g) & valid_a
-                    gb = tgt_gid[mem]
-                    ok = pa & r_pres[:, gb]
+                def loc_d(d, st):
+                    aml, he = st
+                    ok = pa & jnp.roll(pa, -d, axis=1)
                     if not cfg.frag_mode:
-                        ok &= ca == r_cid[:, gb]
-                    dd = jnp.abs(ma - r_cm[:, gb])
-                    cc = jnp.abs(ra - r_rank[:, gb].astype(I64))
-                    loc = ok & ((dd <= cfg.local_dist)
-                                | (cc <= cfg.local_count))
-                    return Lb.at[:, q].set(jnp.any(loc, axis=0) & in_g)
+                        ok &= ca == jnp.roll(ca, -d, axis=1)
+                    loc = ok & (
+                        (jnp.abs(ma - jnp.roll(ma, -d, axis=1))
+                         <= cfg.local_dist)
+                        | (jnp.abs(ra - jnp.roll(ra, -d, axis=1))
+                           <= cfg.local_count))
+                    pair_ok = valid_a & (jnp.roll(gs_of, -d) == gs_of) \
+                        & jnp.roll(valid_a, -d)
+                    lp = jnp.any(loc, axis=0) & pair_ok      # local-shard
+                    aml = aml | (lp & jnp.roll(is_max, -d))  # later max
+                    aml = aml | jnp.roll(lp & is_max, d)     # earlier max
+                    he = he | jnp.roll(lp, d)                # earlier local
+                    return aml, he
 
-                # the D-lattice is ~90% dead lanes (typical group size 2-4
-                # vs the static bound D): stop at the round's true max
-                # group size — a traced value from the REPLICATED arc
-                # table, so every shard runs the same trip count and the
-                # collectives stay in lockstep. Lanes >= max_n would have
-                # computed in_g=False exactly as the skipped iterations
-                # leave them. One psum of the whole local plane replaces
-                # D per-lane psums (same bytes, 64x fewer syncs).
+                # trip count = true max group size - 1, from the
+                # REPLICATED arc table: all shards run in lockstep
                 max_n = jnp.minimum(
                     jnp.max(jnp.where(branching, n_in_g, 0)), D) \
                     .astype(jnp.int32)
-                Lb_loc = jnp.zeros((A, D), bool)
-                _, Lb_loc = lax.while_loop(
+                aml0 = jnp.zeros(A, bool)
+                he0 = jnp.zeros(A, bool)
+                _, (aml, he) = lax.while_loop(
                     lambda st: st[0] < max_n,
-                    lambda st: (st[0] + 1, loc_q(st[0], st[1])),
-                    (jnp.int32(0), Lb_loc))
-                Lb = lax.psum(Lb_loc.astype(jnp.int32), "g") > 0
-                qs = jnp.arange(D)
-                mem_all = jnp.clip(gs_of[:, None] + qs[None, :], 0, A - 1)
-                is_max = branching & (arc_s1 == mx)
+                    lambda st: (st[0] + 1, loc_d(st[0], st[1])),
+                    (jnp.int32(1), (aml0, he0)))
+                nloc_any = lax.psum(aml.astype(jnp.int32), "g") > 0
+                has_earlier = lax.psum(he.astype(jnp.int32), "g") > 0
                 rm, rk = sf.one_minus_div(
                     jnp.maximum(arc_s1, 0).astype(I64),
                     jnp.maximum(mx, 1).astype(I64))
                 cand = branching & (mx > 0) \
                     & sf.gt_const(rm, rk, cfg.branch_diff)
-                nloc_any = jnp.any(Lb & is_max[mem_all], axis=1)
                 cut = cand & ((~nloc_any
                                & sf.gt_const(rm, rk, cfg.branch_diff_dist))
                               | sf.gt_const(rm, rk, cfg.branch_diff_cut))
@@ -371,9 +383,6 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 # n_dist_loci (branch.c:82-90): count group members with no
                 # earlier local partner (the greedy marks j from every
                 # earlier i regardless of i's own group)
-                p_in = (iotaA - gs_of).astype(jnp.int32)
-                has_earlier = jnp.any(
-                    Lb & (qs[None, :] < p_in[:, None]), axis=1)
                 contrib = branching & ~has_earlier
                 n_grp = _seg_reduce(jax.ops.segment_sum,
                                     contrib.astype(jnp.int32), g_id, A)
