@@ -573,6 +573,10 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     G = d.n_genome
     if G == 0 or q.n_seg == 0 or q.n_arc == 0:
         return _fallback("empty graph")
+    # build the mesh FIRST: the first jax.devices() call initializes the
+    # backend client, which on the axon tunnel has measured seconds to
+    # MINUTES — it must not contaminate pack_s
+    mesh = make_mesh(opt.n_devices)
     t_pack0 = time.monotonic()
     views = _steady_cm_views(d)
     if views is None:
@@ -582,7 +586,6 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     S = q.n_seg
     ngene = d.n_gene
     B = max(int(2 * S - 1).bit_length(), 2)
-    mesh = make_mesh(opt.n_devices)
     nd = mesh.devices.size
     Gp = ((G + nd - 1) // nd) * nd
     GB = max((Gp - 1).bit_length(), 1)
