@@ -339,23 +339,31 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 ma = r_cm[:, tgt_gid]
                 ra = r_rank[:, tgt_gid].astype(I64)
                 is_max = branching & (arc_s1 == mx)
+                # jnp.roll with a TRACED shift materializes a doubled
+                # array per call (measured ~1 ms per [Gl, A] plane);
+                # double each plane ONCE per round and take the shifted
+                # window with one dynamic_slice per trip instead
+                cat2 = lambda x: jnp.concatenate([x, x], axis=-1)
+                pa2, ca2, ma2, ra2 = cat2(pa), cat2(ca), cat2(ma), cat2(ra)
+                gs2, va2, im2 = cat2(gs_of), cat2(valid_a), cat2(is_max)
 
                 def loc_d(d, st):
                     aml, he = st
-                    ok = pa & jnp.roll(pa, -d, axis=1)
+                    fwd = lambda x2: lax.dynamic_slice_in_dim(
+                        x2, d, A, axis=x2.ndim - 1)          # lane a+d
+                    ok = pa & fwd(pa2)
                     if not cfg.frag_mode:
-                        ok &= ca == jnp.roll(ca, -d, axis=1)
+                        ok &= ca == fwd(ca2)
                     loc = ok & (
-                        (jnp.abs(ma - jnp.roll(ma, -d, axis=1))
-                         <= cfg.local_dist)
-                        | (jnp.abs(ra - jnp.roll(ra, -d, axis=1))
-                           <= cfg.local_count))
-                    pair_ok = valid_a & (jnp.roll(gs_of, -d) == gs_of) \
-                        & jnp.roll(valid_a, -d)
+                        (jnp.abs(ma - fwd(ma2)) <= cfg.local_dist)
+                        | (jnp.abs(ra - fwd(ra2)) <= cfg.local_count))
+                    pair_ok = valid_a & (fwd(gs2) == gs_of) & fwd(va2)
                     lp = jnp.any(loc, axis=0) & pair_ok      # local-shard
-                    aml = aml | (lp & jnp.roll(is_max, -d))  # later max
-                    aml = aml | jnp.roll(lp & is_max, d)     # earlier max
-                    he = he | jnp.roll(lp, d)                # earlier local
+                    back = lambda x: lax.dynamic_slice_in_dim(
+                        cat2(x), A - d, A, axis=0)           # lane a-d
+                    aml = aml | (lp & fwd(im2))              # later max
+                    aml = aml | back(lp & is_max)            # earlier max
+                    he = he | back(lp)                       # earlier local
                     return aml, he
 
                 # trip count = true max group size - 1, from the
