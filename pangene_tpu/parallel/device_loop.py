@@ -339,35 +339,57 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 ma = r_cm[:, tgt_gid]
                 ra = r_rank[:, tgt_gid].astype(I64)
                 is_max = branching & (arc_s1 == mx)
-                # jnp.roll with a TRACED shift materializes a doubled
-                # array per call (measured ~1 ms per [Gl, A] plane);
-                # double each plane ONCE per round and take the shifted
-                # window with one dynamic_slice per trip instead
+                # Per-trip KERNEL LAUNCH overhead dominated the loop
+                # (measured ~4 ms/trip regardless of roll vs slice), so
+                # each trip handles CH offsets: one dynamic window of
+                # width A+CH-1 per plane, then CH STATIC shifted slices
+                # that fuse into a single compare/reduce kernel. The
+                # backward (earlier-partner) accumulations reuse the same
+                # window trick on lane-reversed stacks:
+                # rev(fwd(rev(x), s)) == back(x, s).
+                CH = 8
                 cat2 = lambda x: jnp.concatenate([x, x], axis=-1)
                 pa2, ca2, ma2, ra2 = cat2(pa), cat2(ca), cat2(ma), cat2(ra)
                 gs2, va2, im2 = cat2(gs_of), cat2(valid_a), cat2(is_max)
 
-                def loc_d(d, st):
+                def loc_chunk(d, st):
                     aml, he = st
-                    fwd = lambda x2: lax.dynamic_slice_in_dim(
-                        x2, d, A, axis=x2.ndim - 1)          # lane a+d
-                    ok = pa & fwd(pa2)
-                    if not cfg.frag_mode:
-                        ok &= ca == fwd(ca2)
-                    loc = ok & (
-                        (jnp.abs(ma - fwd(ma2)) <= cfg.local_dist)
-                        | (jnp.abs(ra - fwd(ra2)) <= cfg.local_count))
-                    pair_ok = valid_a & (fwd(gs2) == gs_of) & fwd(va2)
-                    lp = jnp.any(loc, axis=0) & pair_ok      # local-shard
-                    back = lambda x: lax.dynamic_slice_in_dim(
-                        cat2(x), A - d, A, axis=0)           # lane a-d
-                    aml = aml | (lp & fwd(im2))              # later max
-                    aml = aml | back(lp & is_max)            # earlier max
-                    he = he | back(lp)                       # earlier local
+                    w = lambda x2: lax.dynamic_slice_in_dim(
+                        x2, d, A + CH - 1, axis=x2.ndim - 1)
+                    PW, CW, MW, RW = w(pa2), w(ca2), w(ma2), w(ra2)
+                    GW, VW, IW = w(gs2), w(va2), w(im2)
+                    lps, ims = [], []
+                    for k in range(CH):       # static: fuses into one kernel
+                        sl = lambda W: lax.slice_in_dim(
+                            W, k, k + A, axis=W.ndim - 1)
+                        ok = pa & sl(PW)
+                        if not cfg.frag_mode:
+                            ok &= ca == sl(CW)
+                        loc = ok & (
+                            (jnp.abs(ma - sl(MW)) <= cfg.local_dist)
+                            | (jnp.abs(ra - sl(RW)) <= cfg.local_count))
+                        pair_ok = valid_a & (sl(GW) == gs_of) & sl(VW)
+                        lp = jnp.any(loc, axis=0) & pair_ok   # local-shard
+                        lps.append(lp)
+                        ims.append(lp & is_max)
+                        aml = aml | (lp & sl(IW))             # later max
+                    RL2 = cat2(jnp.stack([x[::-1] for x in lps]))
+                    RI2 = cat2(jnp.stack([x[::-1] for x in ims]))
+                    RLW = lax.dynamic_slice_in_dim(RL2, d, A + CH - 1, 1)
+                    RIW = lax.dynamic_slice_in_dim(RI2, d, A + CH - 1, 1)
+                    he_r = jnp.zeros(A, bool)
+                    am_r = jnp.zeros(A, bool)
+                    for k in range(CH):
+                        he_r = he_r | RLW[k, k:k + A]
+                        am_r = am_r | RIW[k, k:k + A]
+                    he = he | he_r[::-1]                      # earlier local
+                    aml = aml | am_r[::-1]                    # earlier max
                     return aml, he
 
-                # trip count = true max group size - 1, from the
-                # REPLICATED arc table: all shards run in lockstep
+                # trip count = true max group size - 1 offsets, CH per
+                # trip, from the REPLICATED arc table: all shards run in
+                # lockstep. Offsets beyond the group fail the same-group
+                # check, so chunk overshoot needs no masking.
                 max_n = jnp.minimum(
                     jnp.max(jnp.where(branching, n_in_g, 0)), D) \
                     .astype(jnp.int32)
@@ -375,7 +397,7 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 he0 = jnp.zeros(A, bool)
                 _, (aml, he) = lax.while_loop(
                     lambda st: st[0] < max_n,
-                    lambda st: (st[0] + 1, loc_d(st[0], st[1])),
+                    lambda st: (st[0] + CH, loc_chunk(st[0], st[1])),
                     (jnp.int32(1), (aml0, he0)))
                 nloc_any = lax.psum(aml.astype(jnp.int32), "g") > 0
                 has_earlier = lax.psum(he.astype(jnp.int32), "g") > 0
