@@ -442,16 +442,34 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 kf = (v << B) | w
                 kr = ((w ^ 1) << B) | (v ^ 1)
 
-                def probe(keys):
-                    pos = jnp.searchsorted(arc_vw, keys)
-                    posc = jnp.clip(pos, 0, A - 1)
-                    hit = arc_vw[posc] == keys
-                    return jnp.where(hit, arc_weak[posc], 0).astype(jnp.uint8)
-
-                wk_f = jnp.where(pair_ok, jax.vmap(probe)(kf), 0) \
-                    .astype(jnp.uint8)
-                wk_r = jnp.where(pair_ok, jax.vmap(probe)(kr), 0) \
-                    .astype(jnp.uint8)
+                # sort-join lookup of arc_weak by key: the previous
+                # vmapped searchsorted lowered to a log2(A)-step while
+                # whose per-step [Gl, H] gathers were ~1.0 s of the
+                # schedule (chrome trace). One local sort joins all 2*Gl*H
+                # queries against the (unique-key) arc table at once:
+                # the arc sorts FIRST within its key segment (tag 0), so
+                # every query in the segment reads the head's weak value.
+                NQ = Gl * H
+                NJ = A + 2 * NQ
+                qf = jnp.where(pair_ok, kf, KSENT).reshape(-1)
+                qr = jnp.where(pair_ok, kr, KSENT).reshape(-1)
+                jk = jnp.concatenate([arc_vw, qf, qr])
+                jt = jnp.concatenate([jnp.zeros(A, jnp.int32),
+                                      jnp.ones(2 * NQ, jnp.int32)])
+                jp = jnp.concatenate([arc_weak.astype(jnp.int32),
+                                      jnp.zeros(2 * NQ, jnp.int32)])
+                jo = jnp.arange(NJ, dtype=jnp.int32)
+                sk, st, sp, so = lax.sort((jk, jt, jp, jo), num_keys=2)
+                newseg = jnp.concatenate(
+                    [jnp.array([True]), sk[1:] != sk[:-1]])
+                segid = jnp.clip(
+                    jnp.cumsum(newseg.astype(jnp.int32)) - 1, 0, NJ - 1)
+                headv = jax.ops.segment_max(
+                    jnp.where(st == 0, sp, 0), segid, num_segments=NJ)
+                vals = jnp.where(st == 1, headv[segid], 0)
+                joined = jnp.zeros(NJ, jnp.int32).at[so].set(vals)
+                wk_f = joined[A:A + NQ].reshape(Gl, H).astype(jnp.uint8)
+                wk_r = joined[A + NQ:].reshape(Gl, H).astype(jnp.uint8)
                 rows = jnp.arange(Gl)[:, None]
                 # earlier hit gets the forward arc's mark, later the rev's
                 tgt_prev = jnp.take_along_axis(
