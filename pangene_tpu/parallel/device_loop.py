@@ -50,7 +50,6 @@ from ..ops import device as dev
 from ..ops import softfloat as sf
 from ..util import log_msg
 from .mesh import make_mesh
-from . import stacked
 
 I64 = jnp.int64
 SENT = jnp.int64((1 << 62) - 1)          # empty arc-table slot
@@ -58,10 +57,14 @@ KSENT = jnp.int64((1 << 62))             # merge-sort key for invalid rows
 
 
 # packed upload layout: the tunnel charges ~170ms latency per transfer, so
-# the per-hit columns ship as FOUR stacked arrays instead of twenty
+# the per-hit columns ship as FIVE stacked arrays instead of twenty.
+# Coordinates (cs/ce/cm) ship as int32 whenever every value fits (true for
+# any real assembly: contigs < 2^31 bp) — ~40% fewer upload bytes and
+# half the integer width in the sweep's hot [H, K, K] block; an out-of-
+# range coordinate falls back to the exact int64 variant of the program.
 PACK_I32 = ("cid", "rank", "gid", "dom_gid", "score_ori", "score_dom",
             "cds_len", "n_exon", "off_exon", "pid", "pid_dom", "ordcm")
-PACK_I64 = ("cs", "ce", "cm", "pscore")
+PACK_C = ("cs", "ce", "cm")      # int32 or int64 (coord32)
 PACK_U8 = ("flt", "shadow", "weak_br", "valid", "rev")
 
 
@@ -78,6 +81,7 @@ class Cfg(NamedTuple):
     n_gene: int
     R: int          # device rounds: 1 (phase 2) + n_branch_flt
     G_loc: int      # genomes per shard
+    coord32: bool   # cs/ce/cm (and exon abs coords) carried as int32
     check_strand: bool
     use_ori: bool
     frag_mode: bool
@@ -121,22 +125,22 @@ def _steady_cm_views(d):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
-def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
-              arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut,
-              do_branch, do_occ, *, cfg: Cfg, mesh):
+def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
+              arc0_vw, arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut,
+              loci_cut, do_branch, do_occ, *, cfg: Cfg, mesh):
     gs = P("g")
     rep = P()
 
-    def per_shard(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of,
+    def per_shard(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                   arc0_vw, arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut,
                   loci_cut, do_branch, do_occ):
         # blocks are packed with the column index LEADING so each slice is
         # a contiguous [Gl, H] buffer (a minor-dim stride would wreck every
         # downstream vector op on TPU)
         cols = {n: blk_i32[i] for i, n in enumerate(PACK_I32)}
-        cols.update({n: blk_i64[i] for i, n in enumerate(PACK_I64)})
+        cols.update({n: blk_c[i] for i, n in enumerate(PACK_C)})
         cols.update({n: blk_u8[i] for i, n in enumerate(PACK_U8)})
-        cols["pscore"] = cols["pscore"].astype(jnp.uint64)
+        cols["pscore"] = blk_ps[0].astype(jnp.uint64)
         cols["valid"] = cols["valid"] != 0
         ordcm = cols.pop("ordcm")
         exo = blk_ex[0]
@@ -151,10 +155,21 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
         wmask = jnp.int64((1 << B) - 1)
 
         # ---- one-time device-side constant prep ----
-        abs_os, abs_oe = jax.vmap(
-            lambda off, ne, cs, eo, ee: stacked._gather_exons(
-                off, ne, cs, eo, ee, cfg.K)
-        )(cols["off_exon"], cols["n_exon"], cols["cs"], exo, exe)
+        # exon gather in the coordinate dtype (int32 keeps the sweep's
+        # [H, K, K] intersection block at native vector width)
+        cdt = cols["cs"].dtype
+
+        def _gather_ex(off, ne, cs, eo, ee):
+            kk = jnp.arange(cfg.K, dtype=jnp.int32)[None, :]
+            idx = off[:, None] + kk
+            emask = kk < ne[:, None]
+            idxc = jnp.clip(idx, 0, eo.shape[0] - 1)
+            a_os = jnp.where(emask, eo[idxc].astype(cdt) + cs[:, None], 0)
+            a_oe = jnp.where(emask, ee[idxc].astype(cdt) + cs[:, None], 0)
+            return a_os, a_oe
+
+        abs_os, abs_oe = jax.vmap(_gather_ex)(
+            cols["off_exon"], cols["n_exon"], cols["cs"], exo, exe)
 
         def g_cm(a):  # gather a [Gl, H] column into cm order
             return jnp.take_along_axis(a, ordcm, axis=1)
@@ -198,9 +213,13 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
         def walk_merge(flt_b, shadow_b, alive, full: bool):
             """Walk + two-level merge (graph.c:87-177) from ONE global sort
             of (vw, genome) keys. full=False (in-loop) computes only what
-            the rounds consume (group structure + the exact s1 average);
-            full=True (after the loop) adds the output-only stats
-            (tot_cnt, dist and s2 averages)."""
+            the rounds consume (group structure + the exact s1 average) and
+            additionally records, per pair slot, the arc ROW its key landed
+            in — the next round's weak propagation (branch.c:108-145) is
+            then two gathers instead of a second multi-million-row
+            sort-join (the pairs it walks are built from the SAME
+            flt/shadow state this merge consumed); full=True (after the
+            loop) adds the output-only stats (tot_cnt, dist, s2)."""
             kept, pair_ok, prev, v, w, dist, s1w, s2w = kept_pairs(
                 flt_b, shadow_b, alive)
             sidc = jnp.clip(sid_cm, 0, S - 1)
@@ -223,7 +242,9 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 keys, d2, s1_2, s2_2 = lax.sort(
                     (ga(keys), ga(d2), ga(s1_2), ga(s2_2)), num_keys=1)
             else:
-                keys, s1_2 = lax.sort((ga(keys), ga(s1_2)), num_keys=1)
+                gk = ga(keys)
+                jo = jnp.arange(gk.shape[0], dtype=jnp.int32)
+                keys, s1_2, so = lax.sort((gk, ga(s1_2), jo), num_keys=1)
             N = keys.shape[0]
             va = keys != KSENT
             pk = jnp.concatenate([jnp.array([KSENT]), keys[:-1]])
@@ -253,7 +274,18 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 live, _plus499_i32(arc_s1s, arc_ng.astype(I64)), 0)
             lean = (arc_vw, arc_s1, n_out, seg_tot, seg_ng)
             if not full:
-                return lean
+                # scatter each pair slot's arc row back through the sort
+                # permutation; slice this shard's window of the (identical
+                # on every shard) global array
+                pair_arc = jnp.zeros(N, jnp.int32).at[so].set(
+                    out_id.astype(jnp.int32))
+                base = lax.axis_index("g").astype(jnp.int32) * (Gl * 2 * H)
+                mine = lax.dynamic_slice_in_dim(
+                    pair_arc, base, Gl * 2 * H).reshape(Gl, 2 * H)
+                tgt_prev = jnp.take_along_axis(
+                    ordcm, jnp.clip(prev, 0, H - 1), axis=1)
+                pair_st = (mine[:, :H], mine[:, H:], tgt_prev, pair_ok)
+                return lean + (pair_st,)
             cnt_in = jax.ops.segment_sum(va.astype(jnp.int64), in_id,
                                          num_segments=N)
             ds_in = jax.ops.segment_sum(
@@ -282,7 +314,7 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
         # ---- round body ----
         def body(r, st):
             (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
-             arc_vw, arc_s1, loci_st, logs, dcap, overflow) = st
+             arc_vw, arc_s1, pair_st, loci_st, logs, dcap, overflow) = st
 
             # ===== branch marking on the previous round's arcs =====
             valid_a = arc_vw != SENT
@@ -436,47 +468,23 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
             loci_st = jnp.where(do_branch[r], loci, loci_st)
 
             # ===== weak propagation onto hits (branch.c:108-145) =====
+            # the pairs walked here are built from the SAME flt/shadow
+            # state as the previous round's walk_merge, which recorded
+            # each pair's arc row — two gathers replace the former
+            # multi-million-row per-round sort-join
             def prop_block(weak):
-                kept, pair_ok, prev, v, w, _, _, _ = kept_pairs(
-                    flt != 0, shadow != 0, alive)
-                kf = (v << B) | w
-                kr = ((w ^ 1) << B) | (v ^ 1)
-
-                # sort-join lookup of arc_weak by key: the previous
-                # vmapped searchsorted lowered to a log2(A)-step while
-                # whose per-step [Gl, H] gathers were ~1.0 s of the
-                # schedule (chrome trace). One local sort joins all 2*Gl*H
-                # queries against the (unique-key) arc table at once:
-                # the arc sorts FIRST within its key segment (tag 0), so
-                # every query in the segment reads the head's weak value.
-                NQ = Gl * H
-                NJ = A + 2 * NQ
-                qf = jnp.where(pair_ok, kf, KSENT).reshape(-1)
-                qr = jnp.where(pair_ok, kr, KSENT).reshape(-1)
-                jk = jnp.concatenate([arc_vw, qf, qr])
-                jt = jnp.concatenate([jnp.zeros(A, jnp.int32),
-                                      jnp.ones(2 * NQ, jnp.int32)])
-                jp = jnp.concatenate([arc_weak.astype(jnp.int32),
-                                      jnp.zeros(2 * NQ, jnp.int32)])
-                jo = jnp.arange(NJ, dtype=jnp.int32)
-                sk, st, sp, so = lax.sort((jk, jt, jp, jo), num_keys=2)
-                newseg = jnp.concatenate(
-                    [jnp.array([True]), sk[1:] != sk[:-1]])
-                segid = jnp.clip(
-                    jnp.cumsum(newseg.astype(jnp.int32)) - 1, 0, NJ - 1)
-                headv = jax.ops.segment_max(
-                    jnp.where(st == 0, sp, 0), segid, num_segments=NJ)
-                vals = jnp.where(st == 1, headv[segid], 0)
-                joined = jnp.zeros(NJ, jnp.int32).at[so].set(vals)
-                wk_f = joined[A:A + NQ].reshape(Gl, H).astype(jnp.uint8)
-                wk_r = joined[A + NQ:].reshape(Gl, H).astype(jnp.uint8)
+                idx_f, idx_r, tgt_prev, pair_ok = pair_st
+                aw32 = arc_weak.astype(jnp.int32)
+                wk_f = jnp.where(pair_ok,
+                                 aw32[jnp.clip(idx_f, 0, A - 1)], 0)
+                wk_r = jnp.where(pair_ok,
+                                 aw32[jnp.clip(idx_r, 0, A - 1)], 0)
                 rows = jnp.arange(Gl)[:, None]
                 # earlier hit gets the forward arc's mark, later the rev's
-                tgt_prev = jnp.take_along_axis(
-                    ordcm, jnp.clip(prev, 0, H - 1), axis=1)
-                weak = weak.at[rows, tgt_prev].max(wk_f, mode="drop")
+                weak = weak.at[rows, tgt_prev].max(
+                    wk_f.astype(jnp.uint8), mode="drop")
                 weak = weak.at[rows, ordcm].max(
-                    jnp.where(pair_ok, wk_r, 0), mode="drop")
+                    wk_r.astype(jnp.uint8), mode="drop")
                 return weak
 
             weak = lax.cond(do_branch[r], prop_block, lambda w: w, weak)
@@ -553,7 +561,7 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
 
             # walk + lean merge (the rounds only consume group structure,
             # the exact s1 average and the seg counters)
-            arc_vw, arc_s1, n_out, seg_tot, seg_ng = walk_merge(
+            arc_vw, arc_s1, n_out, seg_tot, seg_ng, pair_st = walk_merge(
                 flt != 0, shadow != 0, alive, full=False)
             overflow |= n_out > A
 
@@ -561,19 +569,21 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 n_flt1, n_flt2, n_prop, n_occ, n_deg, n_loci,
                 jnp.sum(alive, dtype=jnp.int64), n_out]))
             return (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
-                    arc_vw, arc_s1, loci_st, logs, dcap, overflow)
+                    arc_vw, arc_s1, pair_st, loci_st, logs, dcap, overflow)
 
         dcap0 = (jnp.zeros((cfg.R, S), jnp.uint8),
                  jnp.zeros((cfg.R, S, 2), jnp.int32),
                  jnp.zeros((cfg.R, S, 2), jnp.int32),
                  jnp.zeros((cfg.R, S), jnp.int32))
+        pair0 = (jnp.zeros((Gl, H), jnp.int32), jnp.zeros((Gl, H), jnp.int32),
+                 jnp.zeros((Gl, H), jnp.int32), jnp.zeros((Gl, H), bool))
         st0 = (cols["flt"], cols["weak_br"], cols["shadow"], cols["pid_dom"],
-               jnp.ones(S, bool), seg_tot0, seg_ng0, arc0_vw, arc0_s1,
+               jnp.ones(S, bool), seg_tot0, seg_ng0, arc0_vw, arc0_s1, pair0,
                jnp.zeros((S, 2), jnp.int32),
                jnp.zeros((cfg.R, 8), jnp.int64), dcap0, jnp.asarray(False))
         st = lax.fori_loop(0, cfg.R, body, st0)
         (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_s1,
-         loci_st, logs, dcap, overflow) = st
+         _pair_st, loci_st, logs, dcap, overflow) = st
         # recompute the final arc table WITH its output-only stats from the
         # final state (identical kept pairs -> identical groups); all
         # averages are rounded exactly on device (softfloat)
@@ -584,12 +594,13 @@ def _schedule(blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
                 logs) + dcap + (overflow,)
 
     gs1 = P(None, "g")   # blocks are [n_cols, Gp, ...], 'g' on axis 1
-    in_specs = (gs1, gs1, gs1, gs1) + (rep,) * 11
+    in_specs = (gs1, gs1, gs1, gs1, gs1) + (rep,) * 11
     out_specs = (gs, gs, gs, gs) + (rep,) * 16
     return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_rep=False)(
-        blk_i32, blk_i64, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw, arc0_s1,
-        seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch, do_occ)
+        blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
+        arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch,
+        do_occ)
 
 
 # ---------------------------------------------------------------------------
@@ -668,28 +679,69 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     T = opt.n_branch_flt
     R = T + 1
 
-    cols, ex_os, ex_oe = stacked.build_stacked(d, H, E)
-    # extra columns the schedule needs beyond the per-round step's set
-    cols["pid"] = np.zeros((G, H), np.int32)
-    cols["pid_dom"] = np.full((G, H), -1, np.int32)
-    ordcm = np.tile(np.arange(H, dtype=np.int32), (G, 1))
+    # pack straight into the final [n_col, Gp, H] transfer blocks — no
+    # intermediate per-column dicts, no post-hoc np.stack/astype/concat
+    # copies (pack_s was 71 s at the 3.9M-record north star, VERDICT r3 #4)
+    from ..ops.device_engine import hash_u32_np
+    from ..ops.overlap import cds_len_all
+    cmax = 0
+    for g in d.genomes:
+        if g.n_hit:
+            h = g.hits
+            cmax = max(cmax, int(np.asarray(h.ce).max(initial=0)),
+                       int(np.asarray(h.cm).max(initial=0)),
+                       int(np.asarray(h.cs).max(initial=0)))
+    coord32 = cmax < 2**31
+    cdt = np.int32 if coord32 else np.int64
+    I32 = {n: i for i, n in enumerate(PACK_I32)}
+    U8 = {n: i for i, n in enumerate(PACK_U8)}
+    blk_i32 = np.zeros((len(PACK_I32), Gp, H), np.int32)
+    blk_i32[I32["cid"]].fill(dev.PAD_CID)
+    blk_i32[I32["dom_gid"]].fill(-1)
+    blk_i32[I32["pid_dom"]].fill(-1)
+    blk_i32[I32["cds_len"]].fill(1)
+    blk_i32[I32["ordcm"]] = np.arange(H, dtype=np.int32)
+    blk_c = np.zeros((len(PACK_C), Gp, H), cdt)
+    blk_c[1].fill(-1)                       # ce pad, as build_stacked
+    blk_ps = np.zeros((1, Gp, H), np.uint64)
+    blk_u8 = np.zeros((len(PACK_U8), Gp, H), np.uint8)
+    blk_ex = np.zeros((2, Gp, E), np.int32)
+    prot_gid = np.asarray(d.prot_gid, np.int32)
+    pref = np.asarray(d.gene_preferred, np.uint8)
     for j, g in enumerate(d.genomes):
+        h = g.hits
         n = g.n_hit
-        cols["pid"][j, :n] = g.hits.pid
-        cols["pid_dom"][j, :n] = g.hits.pid_dom
-        ordcm[j, :n] = views[j]
-    if Gp != G:
-        for k in list(cols):
-            pad = np.zeros((Gp - G,) + cols[k].shape[1:], cols[k].dtype)
-            if k == "cid":
-                pad[:] = dev.PAD_CID
-            elif k == "pid_dom":
-                pad[:] = -1
-            cols[k] = np.concatenate([cols[k], pad])
-        ex_os = np.concatenate([ex_os, np.zeros((Gp - G, E), np.int32)])
-        ex_oe = np.concatenate([ex_oe, np.zeros((Gp - G, E), np.int32)])
-        ordcm = np.concatenate(
-            [ordcm, np.tile(np.arange(H, dtype=np.int32), (Gp - G, 1))])
+        if n == 0:
+            continue
+        gid = prot_gid[h.pid]
+        blk_i32[I32["cid"], j, :n] = h.cid
+        blk_i32[I32["rank"], j, :n] = h.rank
+        blk_i32[I32["gid"], j, :n] = gid
+        blk_i32[I32["dom_gid"], j, :n] = np.where(
+            h.pid_dom0 >= 0, prot_gid[np.clip(h.pid_dom0, 0, None)], -1)
+        blk_i32[I32["score_ori"], j, :n] = h.score_ori
+        blk_i32[I32["score_dom"], j, :n] = h.score_dom
+        blk_i32[I32["cds_len"], j, :n] = cds_len_all(g)
+        blk_i32[I32["n_exon"], j, :n] = h.n_exon
+        blk_i32[I32["off_exon"], j, :n] = h.off_exon
+        blk_i32[I32["pid"], j, :n] = h.pid
+        blk_i32[I32["pid_dom"], j, :n] = h.pid_dom
+        blk_i32[I32["ordcm"], j, :n] = views[j]
+        blk_c[0, j, :n] = h.cs
+        blk_c[1, j, :n] = h.ce
+        blk_c[2, j, :n] = h.cm
+        blk_ps[0, j, :n] = (
+            (h.score_adj.astype(np.int64).astype(np.uint64) << np.uint64(33))
+            | (pref[gid].astype(np.uint64) << np.uint64(32))
+            | hash_u32_np(h.pid).astype(np.uint64))
+        blk_u8[U8["flt"], j, :n] = h.flt
+        blk_u8[U8["shadow"], j, :n] = h.shadow
+        blk_u8[U8["weak_br"], j, :n] = h.weak_br
+        blk_u8[U8["valid"], j, :n] = 1
+        blk_u8[U8["rev"], j, :n] = h.rev
+        ne = len(g.exon_os)
+        blk_ex[0, j, :ne] = g.exon_os
+        blk_ex[1, j, :ne] = g.exon_oe
 
     # arc init from phase 1 (packed to B-bit vertices)
     a = q.arcs
@@ -730,28 +782,28 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     if "occ" in disable:
         do_occ[:] = False
 
+    # coord32: clamping local_dist at INT32_MAX is exact (every |cm gap|
+    # fits int32, so a clamped threshold admits the same pairs)
+    ld = int(opt.local_dist)
+    if coord32:
+        ld = min(ld, 2**31 - 1)
     cfg = Cfg(H=H, K=K, W=W, S=S, A=A, D=D, B=B, GB=GB, n_gene=ngene, R=R,
-              G_loc=Gp // nd, check_strand=bool(opt.check_strand),
+              G_loc=Gp // nd, coord32=coord32,
+              check_strand=bool(opt.check_strand),
               use_ori=bool(opt.use_ori_for_branch),
               frag_mode=bool(opt.frag_mode),
               min_ov_ratio=float(opt.min_ov_ratio),
               branch_diff=float(opt.branch_diff),
               branch_diff_dist=float(opt.branch_diff_dist),
               branch_diff_cut=float(opt.branch_diff_cut),
-              local_dist=int(opt.local_dist),
+              local_dist=ld,
               local_count=int(opt.local_count))
 
     from .mesh import pull_global, put_sharded
-    cols["ordcm"] = ordcm
-    blk_i32 = np.stack([cols[n].astype(np.int32) for n in PACK_I32], axis=0)
-    blk_i64 = np.stack([cols[n].view(np.int64) if n == "pscore"
-                        else cols[n].astype(np.int64) for n in PACK_I64],
-                       axis=0)
-    blk_u8 = np.stack([cols[n].astype(np.uint8) for n in PACK_U8], axis=0)
-    blk_ex = np.stack([ex_os, ex_oe], axis=0)
     t_up0 = time.monotonic()
     dev_blks = [put_sharded(b, mesh, 1)
-                for b in (blk_i32, blk_i64, blk_u8, blk_ex)]
+                for b in (blk_i32, blk_c, blk_ps.view(np.int64), blk_u8,
+                          blk_ex)]
     for b in dev_blks:
         b.block_until_ready()   # note: a no-op on the axon tunnel —
         # deferred transfer time is then charged to run_s instead
@@ -788,8 +840,9 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
         engaged=not overflow_flag,
         shape=dict(G=G, Gp=Gp, H=H, E=E, K=K, W=W, S=S, A=A, D=D, R=R,
                    n_devices=nd),
-        upload_bytes=int(sum(b.nbytes for b in (blk_i32, blk_i64, blk_u8,
-                                                blk_ex))),
+        coord32=coord32,
+        upload_bytes=int(sum(b.nbytes for b in (blk_i32, blk_c, blk_ps,
+                                                blk_u8, blk_ex))),
         pack_s=round(t_up0 - t_pack0, 3),
         upload_s=round(t_run0 - t_up0, 3),
         run_s=round(t_pull0 - t_run0, 3),
