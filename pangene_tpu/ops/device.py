@@ -125,24 +125,32 @@ def _shift_next(arr: jnp.ndarray, delta, W: int, fill) -> jnp.ndarray:
     return lax.dynamic_slice(padded, start, arr.shape)
 
 
-def _pair_core(c: SweepCols, delta, W: int, check_strand: bool):
-    """Pair masks + exact CDS intersection for (j = i - delta, i)."""
+def _pair_geo(c: SweepCols, delta, W: int, check_strand: bool):
+    """Round-INVARIANT pair gates + exact CDS intersection for
+    (j = i - delta, i): everything except the flt terms."""
     jvalid = _shift_prev(c.valid, delta, W, False)
     cid_j = _shift_prev(c.cid, delta, W, PAD_CID)
-    ce_j = _shift_prev(c.ce, delta, W, jnp.int64(-1))
-    flt_j = _shift_prev(c.flt, delta, W, True)
-    mask = (c.valid & jvalid & (cid_j == c.cid) & (ce_j > c.cs)
-            & ~c.flt & ~flt_j)
+    ce_j = _shift_prev(c.ce, delta, W, c.ce.dtype.type(-1))
+    mask = c.valid & jvalid & (cid_j == c.cid) & (ce_j > c.cs)
     if check_strand:
         rev_j = _shift_prev(c.rev, delta, W, jnp.int32(-1))
         mask &= rev_j == c.rev
     # exact intersection: sum over exon pairs of relu(min(end)-max(start))
-    os_j = _shift_prev(c.ex_os, delta, W, jnp.int64(0))
-    oe_j = _shift_prev(c.ex_oe, delta, W, jnp.int64(0))
+    zero = c.ex_os.dtype.type(0)
+    os_j = _shift_prev(c.ex_os, delta, W, zero)
+    oe_j = _shift_prev(c.ex_oe, delta, W, zero)
     lo = jnp.maximum(c.ex_os[:, :, None], os_j[:, None, :])
     hi = jnp.minimum(c.ex_oe[:, :, None], oe_j[:, None, :])
-    ov = jnp.maximum(hi - lo, 0).sum(axis=(1, 2))
+    ov = jnp.maximum(hi - lo, 0).astype(jnp.int64).sum(axis=(1, 2))
     mask &= ov > 0
+    return mask, ov
+
+
+def _pair_core(c: SweepCols, delta, W: int, check_strand: bool):
+    """Pair masks + exact CDS intersection for (j = i - delta, i)."""
+    geo, ov = _pair_geo(c, delta, W, check_strand)
+    flt_j = _shift_prev(c.flt, delta, W, True)
+    mask = geo & ~c.flt & ~flt_j
     return mask, ov
 
 
@@ -165,6 +173,94 @@ def ov_isoform_kernel(c: SweepCols, W: int, check_strand: bool) -> jnp.ndarray:
     marks0 = jnp.zeros_like(c.valid)
     marks, _ = lax.scan(step, marks0, jnp.arange(1, W + 1))
     return marks
+
+
+def sweep_geo_planes(c: SweepCols, min_ov_ratio: float, W: int,
+                     check_strand: bool) -> jnp.ndarray:
+    """Hoist the round-INVARIANT part of the shadow sweep
+    (overlap.c:101-156) out of the round loop: for each delta = 1..W pack
+    one uint8 plane [W, H] with
+      bit0  pair passes every flt/weak-independent gate (valid, same cid,
+            ce_j > cs_i, strand, ov > 0, and the exact cov_short gate
+            ``same_gene | !(ov/min(li,lj) < min_ov_ratio)``),
+      bit1  same_gene,
+      bit2  score_i_loses (packed-score/rank tie order, overlap.c:139-142).
+    The exon K^2 intersection, the softfloat division and the uint64
+    score compares run ONCE per schedule instead of once per round —
+    the round body (shadow_round_kernel) is left with pure bitwise work.
+    """
+    from . import softfloat as sf
+
+    def step(_, delta):
+        geo, ov = _pair_geo(c, delta, W, check_strand)
+        gid_j = _shift_prev(c.gid, delta, W, jnp.int32(-1))
+        ps_j = _shift_prev(c.pscore, delta, W, jnp.uint64(0))
+        rank_j = _shift_prev(c.rank, delta, W, jnp.int32(0))
+        len_j = _shift_prev(c.cds_len, delta, W, jnp.int32(1))
+        same_gene = gid_j == c.gid
+        minlen = jnp.maximum(jnp.minimum(c.cds_len, len_j), 1)
+        qm, qk = sf.div_rn(ov, minlen.astype(jnp.int64))
+        cov_ok = ~sf.lt_const(qm, qk, min_ov_ratio)
+        geo &= same_gene | cov_ok
+        s_il = (c.pscore < ps_j) | ((c.pscore == ps_j)
+                                    & (c.rank > rank_j))
+        plane = (geo.astype(jnp.uint8)
+                 | (same_gene.astype(jnp.uint8) << 1)
+                 | (s_il.astype(jnp.uint8) << 2))
+        return None, plane
+
+    _, planes = lax.scan(step, None, jnp.arange(1, W + 1))
+    return planes
+
+
+def shadow_round_kernel(flt: jnp.ndarray, weak: jnp.ndarray,
+                        pscore: jnp.ndarray, planes: jnp.ndarray, W: int):
+    """Per-round shadow sweep over precomputed geometry planes.
+
+    Byte-equivalent to shadow_kernel (minus the unused best-ov output):
+    only the flt mask, the weak_br loser selection (overlap.c:143-147)
+    and the dominator argmax run per round.
+    """
+    H = flt.shape[0]
+    INT_MAX = jnp.int32(2**31 - 1)
+
+    def step(carry, xs):
+        delta, plane = xs
+        marks, b_score, b_other = carry
+        geo = (plane & 1) != 0
+        same_gene = (plane & 2) != 0
+        s_il = (plane & 4) != 0
+        flt_j = _shift_prev(flt, delta, W, True)
+        weak_j = _shift_prev(weak, delta, W, jnp.int32(0))
+        mask = geo & ~flt & ~flt_j
+        i_loses = jnp.where(same_gene | (weak == weak_j), s_il,
+                            weak > weak_j)
+        ps_j = _shift_prev(pscore, delta, W, jnp.uint64(0))
+        other_j = jnp.arange(H, dtype=jnp.int32) - delta.astype(jnp.int32)
+        cand_i = mask & i_loses
+        marks |= cand_i
+        upd = cand_i & ((ps_j > b_score) | ((ps_j == b_score)
+                                            & (other_j < b_other)))
+        b_score = jnp.where(upd, ps_j, b_score)
+        b_other = jnp.where(upd, other_j, b_other)
+        cand_j_at_i = mask & ~i_loses
+        cand_j = _shift_next(cand_j_at_i, delta, W, False)
+        marks |= cand_j
+        sc_j = _shift_next(jnp.where(cand_j_at_i, pscore, jnp.uint64(0)),
+                           delta, W, jnp.uint64(0))
+        other_i = jnp.arange(H, dtype=jnp.int32) + delta.astype(jnp.int32)
+        upd = cand_j & ((sc_j > b_score) | ((sc_j == b_score)
+                                            & (other_i < b_other)))
+        b_score = jnp.where(upd, sc_j, b_score)
+        b_other = jnp.where(upd, other_i, b_other)
+        return (marks, b_score, b_other), None
+
+    carry0 = (jnp.zeros_like(flt),
+              jnp.zeros(H, jnp.uint64),
+              jnp.full(H, INT_MAX, jnp.int32))
+    (marks, b_score, b_other), _ = lax.scan(
+        step, carry0, (jnp.arange(1, W + 1), planes))
+    return marks, b_score, b_other
 
 
 @functools.partial(jax.jit, static_argnames=("min_ov_ratio", "W",

@@ -210,6 +210,23 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
 
         rowsG = jnp.arange(Gl)[:, None]
 
+        # ---- round-invariant sweep geometry (ONE K^2 exon pass) ----
+        # the shadow sweep's pair gates, exact cov_short division and
+        # uint64 score order depend only on static columns; pack them as
+        # [Gl, W, H] uint8 bit-planes so each round's sweep is pure
+        # bitwise work (dev.sweep_geo_planes docstring)
+        sc_static = dev.SweepCols(
+            valid=cols["valid"], cid=cols["cid"], cs=cols["cs"],
+            ce=cols["ce"], flt=jnp.zeros_like(cols["valid"]),
+            rev=cols["rev"].astype(jnp.int32), rank=cols["rank"],
+            gid=cols["gid"], pscore=cols["pscore"],
+            weak_br=jnp.zeros_like(cols["rank"]),
+            cds_len=cols["cds_len"], ex_os=abs_os, ex_oe=abs_oe)
+        geo_planes = jax.vmap(
+            lambda c: dev.sweep_geo_planes(
+                c, cfg.min_ov_ratio, W=cfg.W,
+                check_strand=cfg.check_strand))(sc_static)
+
         def walk_merge(flt_b, shadow_b, alive, full: bool):
             """Walk + two-level merge (graph.c:87-177) from ONE global sort
             of (vw, genome) keys. full=False (in-loop) computes only what
@@ -537,17 +554,13 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
             dcap = (dcap_mask, dcap_deg, dcap_loci, dcap_tot)
 
             # ===== arc regeneration (graph.c:87-177) =====
-            # shadow sweep on the (fixed) cs order
-            sc = dev.SweepCols(
-                valid=cols["valid"], cid=cols["cid"], cs=cols["cs"],
-                ce=cols["ce"], flt=flt != 0,
-                rev=cols["rev"].astype(jnp.int32), rank=cols["rank"],
-                gid=cols["gid"], pscore=cols["pscore"],
-                weak_br=weak.astype(jnp.int32), cds_len=cols["cds_len"],
-                ex_os=abs_os, ex_oe=abs_oe)
-            marks, b_score, b_other, _ = jax.vmap(
-                lambda c: dev.shadow_kernel(c, cfg.min_ov_ratio, W=cfg.W,
-                                            check_strand=cfg.check_strand))(sc)
+            # shadow sweep on the (fixed) cs order, over the hoisted
+            # geometry planes — only flt/weak-dependent work per round
+            marks, b_score, b_other = jax.vmap(
+                lambda f, w, ps, pl: dev.shadow_round_kernel(
+                    f, w, ps, pl, cfg.W))(
+                flt != 0, weak.astype(jnp.int32), cols["pscore"],
+                geo_planes)
             nonflt = flt == 0
             evaluated = nonflt & (iotaH[None, :] >= 1) & cols["valid"]
             shadow = jnp.where(evaluated, marks,
