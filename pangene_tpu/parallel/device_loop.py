@@ -127,13 +127,15 @@ def _steady_cm_views(d):
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
               arc0_vw, arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut,
-              loci_cut, do_branch, do_occ, *, cfg: Cfg, mesh):
+              loci_cut, do_branch, do_occ, do_sweep, do_walk, no_skip, *,
+              cfg: Cfg, mesh):
     gs = P("g")
     rep = P()
 
     def per_shard(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                   arc0_vw, arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut,
-                  loci_cut, do_branch, do_occ):
+                  loci_cut, do_branch, do_occ, do_sweep, do_walk,
+                  no_skip):
         # blocks are packed with the column index LEADING so each slice is
         # a contiguous [Gl, H] buffer (a minor-dim stride would wreck every
         # downstream vector op on TPU)
@@ -331,7 +333,9 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
         # ---- round body ----
         def body(r, st):
             (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
-             arc_vw, arc_s1, pair_st, loci_st, logs, dcap, overflow) = st
+             arc_vw, arc_s1, pair_st, loci_st, logs, dcap,
+             aw_c, n1_c, n2_c, n_out_c, nc_in, overflow) = st
+            flt_in, weak_in, alive_in = flt, weak, alive
 
             # ===== branch marking on the previous round's arcs =====
             valid_a = arc_vw != SENT
@@ -475,12 +479,19 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 n2 = jnp.sum(cut.astype(jnp.int64))
                 return aw, loci, n1, n2, ovf
 
-            def no_branch(_):
-                return (jnp.zeros(A, jnp.uint8), jnp.zeros((S, 2), jnp.int32),
-                        jnp.int64(0), jnp.int64(0), jnp.asarray(False))
+            def reuse_branch(_):
+                # convergence skip (the host engine's monotone-state memos,
+                # on chip): nc_in certifies the previous round had do_branch
+                # and changed NOTHING in (flt, weak, alive) — this round's
+                # branch marking would run on a bit-identical arc table and
+                # bit-identical rep positions and reproduce the carried
+                # arc_weak/loci/counts exactly. At r=0 (no branch round yet)
+                # the carries are all zeros, matching the old no_branch arm.
+                return aw_c, loci_st, n1_c, n2_c, jnp.asarray(False)
 
+            run_br = do_branch[r] & (~nc_in | no_skip)
             arc_weak, loci, n_flt1, n_flt2, ovf_b = lax.cond(
-                do_branch[r], branch_block, no_branch, None)
+                run_br, branch_block, reuse_branch, None)
             overflow |= ovf_b
             loci_st = jnp.where(do_branch[r], loci, loci_st)
 
@@ -505,8 +516,6 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 return weak
 
             weak = lax.cond(do_branch[r], prop_block, lambda w: w, weak)
-            n_prop = lax.psum(
-                jnp.sum((weak != 0) & cols["valid"], dtype=jnp.int64), "g")
             flt = jnp.where((weak == 2) & (flt == 0), 1, flt) \
                 .astype(jnp.uint8)
 
@@ -541,6 +550,18 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
 
             alive, flt, n_occ, n_deg, n_loci, newdel, deg_v = lax.cond(
                 do_occ[r], occ_block, no_occ, (alive, flt))
+
+            # ===== convergence detection =====
+            # one [2]-vector psum: the reference's n_prop counter plus a
+            # global any-change bit over (flt, weak); alive is replicated.
+            # weak is untouched after prop and flt after occ, so counting
+            # here matches the reference's post-propagation log exactly.
+            stat = lax.psum(jnp.stack([
+                jnp.sum((weak != 0) & cols["valid"], dtype=jnp.int64),
+                (jnp.any(flt != flt_in)
+                 | jnp.any(weak != weak_in)).astype(jnp.int64)]), "g")
+            n_prop = stat[0]
+            ch = (stat[1] > 0) | jnp.any(alive != alive_in)
             # #del replay capture is ALWAYS threaded (a few [S]-sized
             # scatters per round) so verbose and quiet runs share ONE
             # compiled program per shape — halves the compile-cache space
@@ -554,35 +575,57 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
             dcap = (dcap_mask, dcap_deg, dcap_loci, dcap_tot)
 
             # ===== arc regeneration (graph.c:87-177) =====
-            # shadow sweep on the (fixed) cs order, over the hoisted
-            # geometry planes — only flt/weak-dependent work per round
-            marks, b_score, b_other = jax.vmap(
-                lambda f, w, ps, pl: dev.shadow_round_kernel(
-                    f, w, ps, pl, cfg.W))(
-                flt != 0, weak.astype(jnp.int32), cols["pscore"],
-                geo_planes)
-            nonflt = flt == 0
-            evaluated = nonflt & (iotaH[None, :] >= 1) & cols["valid"]
-            shadow = jnp.where(evaluated, marks,
-                               (shadow != 0) | marks).astype(jnp.uint8)
-            rows = jnp.arange(Gl)[:, None]
-            otherc = jnp.clip(b_other, 0, H - 1)
-            has_dom = nonflt & (b_score > jnp.uint64(0))
-            pid_o = jnp.take_along_axis(cols["pid"], otherc, axis=1)
-            pid_dom = jnp.where(nonflt, -1, pid_dom)
-            pid_dom = jnp.where(has_dom, pid_o, pid_dom).astype(jnp.int32)
+            # Skipped entirely when the round changed nothing: shadow /
+            # pid_dom / the arc table are maintained consistent with the
+            # current (flt, weak, alive) at every round boundary (round 0
+            # always runs; the update functions are idempotent and the walk
+            # is a pure function of that state), so unchanged inputs imply
+            # bit-identical outputs. do_sweep/do_occ runtime gates exist
+            # for profiling attribution only (scripts/tpu_roundprof.py).
+            run_sw = (ch | (r == 0) | no_skip) & do_sweep[r]
+
+            def sweep_block(_):
+                # shadow sweep on the (fixed) cs order, over the hoisted
+                # geometry planes — only flt/weak-dependent work per round
+                marks, b_score, b_other = jax.vmap(
+                    lambda f, w, ps, pl: dev.shadow_round_kernel(
+                        f, w, ps, pl, cfg.W))(
+                    flt != 0, weak.astype(jnp.int32), cols["pscore"],
+                    geo_planes)
+                nonflt = flt == 0
+                evaluated = nonflt & (iotaH[None, :] >= 1) & cols["valid"]
+                shadow_n = jnp.where(evaluated, marks,
+                                     (shadow != 0) | marks).astype(jnp.uint8)
+                otherc = jnp.clip(b_other, 0, H - 1)
+                has_dom = nonflt & (b_score > jnp.uint64(0))
+                pid_o = jnp.take_along_axis(cols["pid"], otherc, axis=1)
+                pid_n = jnp.where(nonflt, -1, pid_dom)
+                pid_n = jnp.where(has_dom, pid_o, pid_n).astype(jnp.int32)
+                return shadow_n, pid_n
+
+            shadow, pid_dom = lax.cond(
+                run_sw, sweep_block, lambda _: (shadow, pid_dom), None)
 
             # walk + lean merge (the rounds only consume group structure,
             # the exact s1 average and the seg counters)
-            arc_vw, arc_s1, n_out, seg_tot, seg_ng, pair_st = walk_merge(
-                flt != 0, shadow != 0, alive, full=False)
+            def walk_block(_):
+                return walk_merge(flt != 0, shadow != 0, alive, full=False)
+
+            def walk_skip(_):
+                return arc_vw, arc_s1, n_out_c, seg_tot, seg_ng, pair_st
+
+            arc_vw, arc_s1, n_out, seg_tot, seg_ng, pair_st = lax.cond(
+                run_sw & do_walk[r], walk_block, walk_skip, None)
             overflow |= n_out > A
+            nc_out = do_branch[r] & ~ch
 
             logs = logs.at[r].set(jnp.stack([
                 n_flt1, n_flt2, n_prop, n_occ, n_deg, n_loci,
-                jnp.sum(alive, dtype=jnp.int64), n_out]))
+                jnp.sum(alive, dtype=jnp.int64), n_out,
+                run_br.astype(jnp.int64), run_sw.astype(jnp.int64)]))
             return (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng,
-                    arc_vw, arc_s1, pair_st, loci_st, logs, dcap, overflow)
+                    arc_vw, arc_s1, pair_st, loci_st, logs, dcap,
+                    arc_weak, n_flt1, n_flt2, n_out, nc_out, overflow)
 
         dcap0 = (jnp.zeros((cfg.R, S), jnp.uint8),
                  jnp.zeros((cfg.R, S, 2), jnp.int32),
@@ -593,10 +636,13 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
         st0 = (cols["flt"], cols["weak_br"], cols["shadow"], cols["pid_dom"],
                jnp.ones(S, bool), seg_tot0, seg_ng0, arc0_vw, arc0_s1, pair0,
                jnp.zeros((S, 2), jnp.int32),
-               jnp.zeros((cfg.R, 8), jnp.int64), dcap0, jnp.asarray(False))
+               jnp.zeros((cfg.R, 10), jnp.int64), dcap0,
+               jnp.zeros(A, jnp.uint8), jnp.int64(0), jnp.int64(0),
+               jnp.int64(0), jnp.asarray(False), jnp.asarray(False))
         st = lax.fori_loop(0, cfg.R, body, st0)
         (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_s1,
-         _pair_st, loci_st, logs, dcap, overflow) = st
+         _pair_st, loci_st, logs, dcap,
+         _aw_c, _n1_c, _n2_c, _n_out_c, _nc, overflow) = st
         # recompute the final arc table WITH its output-only stats from the
         # final state (identical kept pairs -> identical groups); all
         # averages are rounded exactly on device (softfloat)
@@ -607,13 +653,13 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 logs) + dcap + (overflow,)
 
     gs1 = P(None, "g")   # blocks are [n_cols, Gp, ...], 'g' on axis 1
-    in_specs = (gs1, gs1, gs1, gs1, gs1) + (rep,) * 11
+    in_specs = (gs1, gs1, gs1, gs1, gs1) + (rep,) * 14
     out_specs = (gs, gs, gs, gs) + (rep,) * 16
     return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_rep=False)(
         blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of, arc0_vw,
         arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut, loci_cut, do_branch,
-        do_occ)
+        do_occ, do_sweep, do_walk, no_skip)
 
 
 # ---------------------------------------------------------------------------
@@ -789,11 +835,20 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     # blocks to attribute device time — INPUT values only, so the same
     # compiled program runs and no reference exactness is claimed
     import os as _os2
+    do_sweep = np.ones(R, bool)
+    do_walk = np.ones(R, bool)
     disable = _os2.environ.get("PANGENE_DEVLOOP_DISABLE", "")
     if "branch" in disable:
         do_branch[:] = False
     if "occ" in disable:
         do_occ[:] = False
+    if "sweep" in disable:
+        do_sweep[:] = False
+    if "walk" in disable:
+        do_walk[:] = False
+    # "conv": defeat convergence skipping (every round recomputes branch +
+    # sweep + walk) — quantifies the skip win with the same program
+    no_skip = np.asarray("conv" in disable)
 
     # coord32: clamping local_dist at INT32_MAX is exact (every |cm gap|
     # fits int32, so a clamped threshold admits the same pairs)
@@ -828,7 +883,8 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
         q.seg_tot_cnt.astype(np.int32),
         q.seg_n_genome.astype(np.int32),
         occ_cut, deg_cut, loci_cut,
-        do_branch, do_occ, cfg=cfg, mesh=mesh)
+        do_branch, do_occ, do_sweep, do_walk, no_skip,
+        cfg=cfg, mesh=mesh)
     # a 1-element pull forces execution completion even on the axon
     # backend (where block_until_ready does not actually block)
     overflow_flag = bool(np.asarray(outs[-1]))
@@ -859,7 +915,11 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
         pack_s=round(t_up0 - t_pack0, 3),
         upload_s=round(t_run0 - t_up0, 3),
         run_s=round(t_pull0 - t_run0, 3),
-        pull_s=round(t_pull1 - t_pull0, 3))
+        pull_s=round(t_pull1 - t_pull0, 3),
+        # convergence skipping (logs cols 8/9 = ran_branch / ran_sweepwalk)
+        rounds_branch_run=int(logs[:, 8].sum()),
+        rounds_sweep_run=int(logs[:, 9].sum()),
+        rounds_total=R)
     if overflow_flag:
         LAST["reason"] = "capacity overflow (arcs or branch window)"
         log_msg("pg_device_loop", "capacity overflow (arcs or branch "
@@ -915,7 +975,8 @@ def _emit_round_logs(q, logs, dmask, ddeg, dloci, dtot, R) -> None:
     from .. import util
     d = q.d
     for r in range(R):
-        n1, n2, nprop, nocc, ndeg, nloci, nseg, narc = (int(x) for x in logs[r])
+        n1, n2, nprop, nocc, ndeg, nloci, nseg, narc = (
+            int(x) for x in logs[r][:8])
         if r >= 1:
             log_msg("pg_mark_branch_flt_arc",
                     "marked %d locally diverged branches and %d distantly "
