@@ -582,7 +582,8 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
             # is a pure function of that state), so unchanged inputs imply
             # bit-identical outputs. do_sweep/do_occ runtime gates exist
             # for profiling attribution only (scripts/tpu_roundprof.py).
-            run_sw = (ch | (r == 0) | no_skip) & do_sweep[r]
+            recompute = ch | (r == 0) | no_skip
+            run_sw = recompute & do_sweep[r]
 
             def sweep_block(_):
                 # shadow sweep on the (fixed) cs order, over the hoisted
@@ -615,7 +616,7 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 return arc_vw, arc_s1, n_out_c, seg_tot, seg_ng, pair_st
 
             arc_vw, arc_s1, n_out, seg_tot, seg_ng, pair_st = lax.cond(
-                run_sw & do_walk[r], walk_block, walk_skip, None)
+                recompute & do_walk[r], walk_block, walk_skip, None)
             overflow |= n_out > A
             nc_out = do_branch[r] & ~ch
 

@@ -66,22 +66,36 @@ print("RESULT " + json.dumps({"wall": round(best[0], 2), "last": best[1]}))
 def main():
     scale = sys.argv[1] if len(sys.argv) > 1 else "small"
     out = {"scale": scale}
-    for name, dis in (("baseline", ""), ("no_branch", "branch"),
-                      ("no_occ", "occ"), ("no_branch_no_occ", "branch,occ")):
+    # baseline has convergence skipping ACTIVE; "conv" defeats it (still
+    # reference-exact — recomputing unchanged rounds is the r3 behavior);
+    # the block disables run on top of no-skip so every round pays the
+    # block and the delta attributes per-block cost.
+    path = os.path.join(ROOT, "TPU_ROUNDPROF.json")
+    for name, dis in (("baseline", ""), ("no_skip", "conv"),
+                      ("noskip_no_branch", "conv,branch"),
+                      ("noskip_no_occ", "conv,occ"),
+                      ("noskip_no_sweep", "conv,sweep"),
+                      ("noskip_no_walk", "conv,walk")):
         got = one_variant(scale, dis)
         out[name] = {"wall": got["wall"],
                      "run_s": got["last"].get("run_s"),
                      "upload_s": got["last"].get("upload_s"),
-                     "pull_s": got["last"].get("pull_s")}
+                     "pull_s": got["last"].get("pull_s"),
+                     "rounds_branch_run": got["last"].get("rounds_branch_run"),
+                     "rounds_sweep_run": got["last"].get("rounds_sweep_run")}
         print(name, out[name], flush=True)
-    base = out["baseline"]["run_s"]
+        with open(path, "w") as f:     # incremental: a plugin crash after
+            json.dump(out, f, indent=1)  # N variants keeps N results
+    base = out["no_skip"]["run_s"]
     out["attribution_s"] = {
-        "branch_blocks": round(base - out["no_branch"]["run_s"], 2),
-        "occ_blocks": round(base - out["no_occ"]["run_s"], 2),
-        "sweep_walk_merge_rest": round(out["no_branch_no_occ"]["run_s"], 2),
+        "skip_win": round(base - out["baseline"]["run_s"], 2),
+        "branch_blocks": round(base - out["noskip_no_branch"]["run_s"], 2),
+        "occ_blocks": round(base - out["noskip_no_occ"]["run_s"], 2),
+        "sweep_blocks": round(base - out["noskip_no_sweep"]["run_s"], 2),
+        "walk_merge_blocks": round(base - out["noskip_no_walk"]["run_s"], 2),
     }
     print(json.dumps(out, indent=1))
-    with open(os.path.join(ROOT, "TPU_ROUNDPROF.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
 
