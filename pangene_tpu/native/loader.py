@@ -36,6 +36,12 @@ def build_so(src: str, so: str, libs=("-lz", "-lm")) -> bool:
 
 
 def _build() -> bool:
+    # libdeflate fast path (measured ~2x zlib inflate) when the dev files
+    # exist; plain zlib build otherwise — pgparse.c gates on the define
+    if os.path.exists("/usr/include/libdeflate.h") and build_so(
+            _SRC, _SO, libs=("-DPG_HAVE_LIBDEFLATE", "-ldeflate",
+                             "-lz", "-lm")):
+        return True
     return build_so(_SRC, _SO)
 
 

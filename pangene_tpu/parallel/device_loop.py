@@ -78,6 +78,8 @@ class Cfg(NamedTuple):
     D: int          # max arcs per oriented vertex (branch window)
     B: int          # bits of a packed vertex (sid<<1|rev < 2^B)
     GB: int         # bits of a genome index
+    JB: int         # bits of a global pair-row index packed into the lean
+                    # sort key (0 = disabled: 2B+GB+JB would exceed 62)
     n_gene: int
     R: int          # device rounds: 1 (phase 2) + n_branch_flt
     G_loc: int      # genomes per shard
@@ -255,17 +257,41 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
             keys = jnp.where(ok2, keys, KSENT)
             s1_2 = jnp.concatenate([s1w, s2w], axis=1)
             ga = lambda a: lax.all_gather(a, "g", tiled=True).reshape(-1)
+            # JB low bits of the lean sort key carry the global row index:
+            # the per-round merge then sorts ONE i64 array (half the
+            # bitonic-pass traffic of co-sorting payloads) and recovers the
+            # permutation + s1 by mask/gather. Stable-sort equivalent: jo
+            # increases with gathered position, so (key|jo) order == stable
+            # order, and every consumer (segment max/sum, per-row scatter)
+            # is order-invariant within a tie anyway. Falls back to the
+            # co-sorted form when 2B+GB+JB > 62 (checked at entry, static).
+            NL = Gl * 2 * H
+            JB = cfg.JB
+            so = None
             if full:
                 d2 = jnp.concatenate([dist, dist], axis=1)
                 s2_2 = jnp.concatenate([s2w, s1w], axis=1)
                 keys, d2, s1_2, s2_2 = lax.sort(
                     (ga(keys), ga(d2), ga(s1_2), ga(s2_2)), num_keys=1)
+                N = keys.shape[0]
+                va = keys != KSENT
+            elif JB:
+                base = lax.axis_index("g").astype(I64) * NL
+                jo_loc = (base + jnp.arange(NL, dtype=I64)).reshape(Gl, 2 * H)
+                kp = jnp.where(ok2, (keys << JB) | jo_loc, KSENT)
+                kps = lax.sort(ga(kp))
+                N = kps.shape[0]
+                keys = kps >> JB                    # (vw<<GB)|g rows
+                va = keys != (KSENT >> JB)
+                so = jnp.where(va, kps & ((1 << JB) - 1), N)
+                s1_2 = jnp.take(ga(s1_2),
+                                jnp.clip(so, 0, N - 1).astype(jnp.int32))
             else:
                 gk = ga(keys)
                 jo = jnp.arange(gk.shape[0], dtype=jnp.int32)
                 keys, s1_2, so = lax.sort((gk, ga(s1_2), jo), num_keys=1)
-            N = keys.shape[0]
-            va = keys != KSENT
+                N = keys.shape[0]
+                va = keys != KSENT
             pk = jnp.concatenate([jnp.array([KSENT]), keys[:-1]])
             in_new = va & (keys != pk)
             in_id = jnp.clip(jnp.cumsum(in_new.astype(jnp.int32)) - 1,
@@ -296,8 +322,10 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 # scatter each pair slot's arc row back through the sort
                 # permutation; slice this shard's window of the (identical
                 # on every shard) global array
+                # invalid rows carry so == N (packed path) and are dropped;
+                # their pair slots have pair_ok False so 0 is never read
                 pair_arc = jnp.zeros(N, jnp.int32).at[so].set(
-                    out_id.astype(jnp.int32))
+                    out_id.astype(jnp.int32), mode="drop")
                 base = lax.axis_index("g").astype(jnp.int32) * (Gl * 2 * H)
                 mine = lax.dynamic_slice_in_dim(
                     pair_arc, base, Gl * 2 * H).reshape(Gl, 2 * H)
@@ -856,7 +884,11 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     ld = int(opt.local_dist)
     if coord32:
         ld = min(ld, 2**31 - 1)
-    cfg = Cfg(H=H, K=K, W=W, S=S, A=A, D=D, B=B, GB=GB, n_gene=ngene, R=R,
+    JB = max((Gp * 2 * H - 1).bit_length(), 1)
+    if 2 * B + GB + JB > 62 or _os.environ.get("PANGENE_DEVLOOP_NO_JB"):
+        JB = 0          # lean merge falls back to co-sorted payloads
+    cfg = Cfg(H=H, K=K, W=W, S=S, A=A, D=D, B=B, GB=GB, JB=JB,
+              n_gene=ngene, R=R,
               G_loc=Gp // nd, coord32=coord32,
               check_strand=bool(opt.check_strand),
               use_ori=bool(opt.use_ori_for_branch),

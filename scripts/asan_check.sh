@@ -9,8 +9,14 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 TMP=$(mktemp -d)
 cc -O1 -g -fsanitize=address -shared -fPIC \
     "$REPO/pangene_tpu/native/pgsweep.c" -o "$TMP/_pgsweep.so" -lm
+if [ -e /usr/include/libdeflate.h ]; then
+    PG_DEFL="-DPG_HAVE_LIBDEFLATE -ldeflate"
+else
+    PG_DEFL=""
+fi
 cc -O1 -g -fsanitize=address -shared -fPIC \
-    "$REPO/pangene_tpu/native/pgparse.c" -o "$TMP/_pgparse.so" -lz -lm
+    "$REPO/pangene_tpu/native/pgparse.c" -o "$TMP/_pgparse.so" \
+    $PG_DEFL -lz -lm
 cp "$REPO/pangene_tpu/native/_pgsweep.so" "$TMP/save_sweep.so" 2>/dev/null || true
 cp "$REPO/pangene_tpu/native/_pgparse.so" "$TMP/save_parse.so" 2>/dev/null || true
 cp "$TMP/_pgsweep.so" "$REPO/pangene_tpu/native/_pgsweep.so"

@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Device-utilization number for the device-resident schedule (VERDICT r3
+item 5: the busy-fraction / roofline "MFU analogue" for an integer,
+memory-bound workload).
+
+Runs the sharded pipeline once warm under jax.profiler.trace, parses the
+chrome trace (the TPU device appears as its own pid; see round-3 notes:
+pid 3 on this axon plugin), and reports:
+
+  * busy_frac      — sum of device-op durations / device-loop run_s wall.
+  * achieved GB/s  — bytes the round state demonstrably touches per round
+                     (analytic lower bound from the static shapes: sweep
+                     bit-planes + hit columns + the [Gp*2H] sort working
+                     set times its ~log2 passes) over on-device time.
+  * pct_of_memory_bound — achieved GB/s vs HBM peak (v5e ~819 GB/s).
+
+The result is appended to TPU_GATE.json under "utilization".
+
+Usage (real chip):
+  PYTHONPATH=/root/repo:$PYTHONPATH python3 scripts/tpu_utilization.py [small|big]
+"""
+import glob
+import gzip
+import json
+import math
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SCALES = {"small": (32, 2000, 11), "big": (64, 10000, 7)}
+HBM_PEAK_GBS = 819.0     # TPU v5e (v5 lite) HBM bandwidth
+
+
+def analytic_bytes_per_round(shape, coord32):
+    """Lower bound of bytes the schedule touches per executed round."""
+    G, H, W, A = shape["Gp"], shape["H"], shape["W"], shape["A"]
+    c = 4 if coord32 else 8
+    planes = G * W * H              # u8 geometry planes, read once
+    cols = G * H * (3 * 1 + 8 + c)  # flt/weak/shadow u8, pscore u64, coords
+    sortN = G * 2 * H
+    # lax.sort on TPU is a multi-pass merge: ~log2(N) passes over
+    # (key i64 + 2 payloads), read+write
+    sort_bytes = sortN * (8 + 8 + 4) * 2 * max(1, int(math.log2(max(sortN, 2))))
+    seg = 6 * A * 8                 # segment reductions over the arc table
+    return planes + cols + sort_bytes + seg
+
+
+def main() -> int:
+    scale = sys.argv[1] if len(sys.argv) > 1 else "small"
+    n_genome, n_gene, seed = SCALES[scale]
+
+    from pangene_tpu import pipeline, util
+    from pangene_tpu.options import PgOpt
+    from pangene_tpu.parallel import device_loop
+    from pangene_tpu.testing import synth_paf_files
+    import jax
+    util.verbose = 0
+
+    import tempfile
+    cache = os.path.join(tempfile.gettempdir(), "pg_bench_%d_%d_%d"
+                         % (n_genome, n_gene, seed))
+    if not os.path.exists(os.path.join(cache, "done")):
+        synth_paf_files(cache, n_genome=n_genome, n_gene=n_gene, n_iso=3,
+                        seed=seed)
+        open(os.path.join(cache, "done"), "w").write("ok")
+    files = sorted(os.path.join(cache, f) for f in os.listdir(cache)
+                   if f.endswith(".paf.gz"))
+
+    import io
+    # warm run: compile + executable load outside the traced span
+    pipeline.run(PgOpt(engine="sharded"), files, out=io.StringIO())
+    assert device_loop.LAST.get("engaged"), device_loop.LAST
+
+    tdir = tempfile.mkdtemp(prefix="pg_trace_")
+    with jax.profiler.trace(tdir):
+        pipeline.run(PgOpt(engine="sharded"), files, out=io.StringIO())
+    last = dict(device_loop.LAST)
+    assert last.get("engaged"), last
+
+    # chrome trace: newest .trace.json.gz under tdir
+    paths = sorted(glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
+                             recursive=True), key=os.path.getmtime)
+    assert paths, "no trace written under %s" % tdir
+    with gzip.open(paths[-1], "rt") as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    # device pids: process_name metadata containing "TPU"/"device"
+    dev_pids = set()
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            nm = e.get("args", {}).get("name", "")
+            if "TPU" in nm or "Device" in nm or "device" in nm:
+                dev_pids.add(e["pid"])
+    # busy time: union-free sum of complete events on device pids
+    # (per-line events on one TPU core don't overlap in practice; take the
+    # per-pid max of summed durations to avoid double counting streams)
+    per_pid = {}
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            per_pid[e["pid"]] = per_pid.get(e["pid"], 0.0) \
+                + float(e.get("dur", 0.0))
+    busy_us = max(per_pid.values()) if per_pid else 0.0
+    busy_s = busy_us / 1e6
+
+    run_s = last["run_s"]
+    shape = last["shape"]
+    rounds = last.get("rounds_sweep_run", shape["R"])
+    bpr = analytic_bytes_per_round(shape, last.get("coord32", False))
+    touched = bpr * max(rounds, 1)
+    busy_frac = busy_s / run_s if run_s else 0.0
+    achieved = touched / busy_s / 1e9 if busy_s else 0.0
+    out = {
+        "scale": scale,
+        "run_s": run_s,
+        "device_busy_s": round(busy_s, 3),
+        "busy_frac": round(busy_frac, 3),
+        "device_pids": sorted(dev_pids),
+        "analytic_bytes_per_round": bpr,
+        "rounds_executed": rounds,
+        "achieved_GBps_lower_bound": round(achieved, 1),
+        "pct_of_memory_bound": round(100.0 * achieved / HBM_PEAK_GBS, 1),
+        "hbm_peak_GBps": HBM_PEAK_GBS,
+        "note": "bytes are an analytic LOWER bound on traffic (bit-planes"
+                " + columns + ~log2 sort passes + arc-table reductions);"
+                " real traffic is higher, so pct_of_memory_bound"
+                " understates how memory-bound the schedule runs",
+    }
+    print("UTILIZATION " + json.dumps(out))
+    gate_path = os.path.join(ROOT, "TPU_GATE.json")
+    try:
+        gate = json.load(open(gate_path))
+    except Exception:
+        gate = {}
+    gate["utilization"] = out
+    with open(gate_path, "w") as f:
+        json.dump(gate, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

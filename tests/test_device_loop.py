@@ -72,6 +72,16 @@ def test_devloop_disabled_env_fallback(corpus, monkeypatch):
     assert run(corpus, "sharded") == run(corpus, "host")
 
 
+def test_devloop_jb_fallback(corpus, monkeypatch):
+    """The co-sorted lean-merge fallback (JB=0: key bits exhausted by
+    2B+GB at huge S) stays byte-identical to the packed-row-index path."""
+    monkeypatch.setenv("PANGENE_DEVLOOP_NO_JB", "1")
+    from pangene_tpu.parallel import device_loop
+    out = run(corpus, "sharded")
+    assert device_loop.LAST.get("engaged")
+    assert out == run(corpus, "host")
+
+
 def test_devloop_verbose_del_logs(corpus, capsys):
     """verbose>=3 replays the #del lines and per-round counters from the
     pulled capture; content must equal the host path's stderr lines."""

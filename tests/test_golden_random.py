@@ -133,6 +133,34 @@ def test_golden_edge_inputs(tmp_path):
     assert run_ours(list(args), fls) == run_ref(list(args), fls)
 
 
+@pytest.fixture(scope="module")
+def pressure_corpus():
+    """16 genomes x 1200 genes (~60k records), cached across runs: big
+    enough that high-occ deletes, annealing rounds and branch cuts
+    actually trigger under non-default thresholds (VERDICT r3 #7/#10 —
+    the toy corpora never put -c/-g/-r/-T/-F under pressure)."""
+    import tempfile
+    d = os.path.join(tempfile.gettempdir(), "pg_fuzz_pressure_16_1200_5")
+    if not os.path.exists(os.path.join(d, "done")):
+        synth_paf_files(d, n_genome=16, n_gene=1200, n_iso=3, seed=5)
+        open(os.path.join(d, "done"), "w").write("ok")
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith(".paf.gz"))
+
+
+@pytest.mark.parametrize("args", [
+    ["-c2"],                      # tight avg-occ cut: high-occ deletes
+    ["-g4", "-r1"],               # degree + dist-loci pressure
+    ["-b0.02", "-y0.05"],         # aggressive branch cuts
+    ["-T7", "-c3"],               # more annealing rounds under occ cuts
+    ["-F", "-p0.1"],              # frag mode + loose pseudo at scale
+])
+def test_golden_pressure_options(pressure_corpus, args):
+    ours = run_ours(list(args), pressure_corpus)
+    ref = run_ref(list(args), pressure_corpus)
+    assert ours == ref, "pressure mismatch with options %r" % (args,)
+
+
 def test_golden_bacterial_shape(tmp_path):
     """Unspliced single-exon corpus (the bacterial / miniprot -S shape):
     many strains, single-exon hits everywhere. -J avoids the joint
