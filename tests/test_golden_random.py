@@ -149,7 +149,7 @@ def pressure_corpus():
 
 
 @pytest.mark.parametrize("args", [
-    ["-c2"],                      # tight avg-occ cut: high-occ deletes
+    ["-c1"],                      # tight avg-occ cut: high-occ deletes
     ["-g4", "-r1"],               # degree + dist-loci pressure
     ["-b0.02", "-y0.05"],         # aggressive branch cuts
     ["-T7", "-c3"],               # more annealing rounds under occ cuts
