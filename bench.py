@@ -183,9 +183,16 @@ def main() -> None:
     extras = {}
     want_sharded = os.environ.get("PANGENE_BENCH_SHARDED", "auto")
     if engine == "host" and SCALE == "small" and want_sharded != "0":
+        # backend detection in a BOUNDED subprocess: the axon client init
+        # is unbounded in bad tunnel phases (measured >15 min) and must
+        # never stall the headline host measurement
         try:
-            import jax
-            has_tpu = jax.default_backend() != "cpu"
+            has_tpu = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax,sys;"
+                 "sys.exit(0 if jax.default_backend()!='cpu' else 1)"],
+                timeout=300, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL).returncode == 0
         except Exception:
             has_tpu = False
         if has_tpu or want_sharded == "1":

@@ -155,7 +155,9 @@ static int64_t sweep_shadow_core(
     const int32_t *eos, const int32_t *eoe,
     const uint8_t *flt,
     int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
-    uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom);
+    uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom,
+    int64_t *geo_off, uint8_t *geo_bytes, int64_t geo_cap,
+    int32_t *geo_state);
 
 int64_t pg_sweep_shadow_hot(
     int64_t n, const hot_t *ht,
@@ -167,7 +169,7 @@ int64_t pg_sweep_shadow_hot(
 {
     return sweep_shadow_core(n, ht, pid, score_ori, eos, eoe, flt,
                              check_strand, min_ov_ratio, cal_dom_sc,
-                             shadow, pid_dom, score_dom);
+                             shadow, pid_dom, score_dom, 0, 0, 0, 0);
 }
 
 int64_t pg_sweep_shadow(
@@ -190,19 +192,40 @@ int64_t pg_sweep_shadow(
                   flt, weak_br, cs, ce, eos, eoe, prot_gid, gene_pref);
     r = sweep_shadow_core(n, ht, pid, score_ori, eos, eoe, flt,
                           check_strand, min_ov_ratio, cal_dom_sc,
-                          shadow, pid_dom, score_dom);
+                          shadow, pid_dom, score_dom, 0, 0, 0, 0);
     free(ht);
     return r;
 }
 
+/* Round-invariant pair-geometry cache (the host-side analogue of the
+ * device schedule's sweep_geo_planes): for each hit i a contiguous window
+ * of original indices [i - w_i, i) with one byte per pair:
+ *   bit0  pair evaluable at round 1: both ends live at the recording
+ *         sweep, cid equal, ce_j > cs_i, strand, exact exon intersection
+ *         > 0, and the cov_short gate
+ *         same_gene || !((double)ov/min(len) < min_ov_ratio)
+ *   bit1  same gene
+ *   bit2  i loses on (packed score, rank) — overlap.c:139-142 tie order
+ * Recorded as a BYPRODUCT of the first hot-cached sweep (no extra ov_len
+ * work); valid for every later round because flt is monotone (only ever
+ * set — a pair evaluated in round k was evaluated in round 1) and the
+ * physical order is version-keyed. geo_state: 0 = record during this
+ * sweep, 1 = valid (byte lookups), -1 = cap overflow (disabled). */
 static int64_t sweep_shadow_core(
     int64_t n, const hot_t *ht,
     const int32_t *pid, const int32_t *score_ori,
     const int32_t *eos, const int32_t *eoe,
     const uint8_t *flt,
     int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
-    uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom)
+    uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom,
+    int64_t *geo_off, uint8_t *geo_bytes, int64_t geo_cap,
+    int32_t *geo_state)
 {
+    int32_t geo_use = geo_state && *geo_state == 1 && geo_bytes
+        && !cal_dom_sc;
+    int32_t geo_rec = geo_state && *geo_state == 0 && geo_bytes
+        && !cal_dom_sc;
+    int64_t geo_cur = 0;
     int64_t i, a, b0 = 0, nl = 0, n_shadow = 0;
     int64_t *tmp_ov;
     uint64_t *tmp_score;
@@ -229,11 +252,15 @@ static int64_t sweep_shadow_core(
         orig[nl] = i;
         ++nl;
     }
+    if (geo_rec)
+        memset(geo_off, 0, (size_t)(n + 1) * 8);  /* widths in [i+1] */
     for (a = 0; a < nl; ++a) {
         int64_t b;
         const hot_t hi_r = hl[a];
         uint64_t si;
         int32_t wi;
+        uint8_t *grow = 0;
+        int64_t gjlo = 0;
         i = orig[a];
         if (i < 1) continue;   /* hit 0 is never evaluated as i */
         while (b0 < a && !(hl[b0].cid == hi_r.cid && hl[b0].ce > hi_r.cs))
@@ -241,6 +268,47 @@ static int64_t sweep_shadow_core(
         shadow[i] = 0;
         si = hi_r.pscore;
         wi = hi_r.weak;
+        if (geo_use) {
+            /* cached-geometry rounds (cal_dom_sc == 0): the static gates,
+             * exon intersections and score tie-orders collapse to one
+             * byte per pair; only the weak compare is per-round */
+            const int64_t jlo = i - (geo_off[i + 1] - geo_off[i]);
+            const uint8_t *row = geo_bytes + geo_off[i];
+            for (b = b0; b < a; ++b) {
+                int64_t j = orig[b], loser, winner;
+                uint8_t byte;
+                if (j < jlo) continue;
+                byte = row[j - jlo];
+                if (!(byte & 1)) continue;
+                if ((byte & 2) || wi == hl[b].weak)
+                    loser = (byte & 4) ? i : j;
+                else
+                    loser = wi > hl[b].weak ? i : j;
+                winner = loser == i ? j : i;
+                shadow[loser] = 1;
+                if (tmp_score[loser] < ht[winner].pscore) {
+                    tmp_score[loser] = ht[winner].pscore;
+                    tmp_aid[loser] = (int32_t)winner;
+                }
+            }
+            continue;
+        }
+        if (geo_rec) {
+            /* record this window as a byproduct: [gjlo, i) in original
+             * indices, one byte per pair, non-evaluable pairs stay 0 */
+            int64_t w;
+            gjlo = b0 < a ? orig[b0] : i;
+            w = i - gjlo;
+            if (geo_cur + w > geo_cap) {
+                geo_rec = 0;
+                *geo_state = -1;   /* cap overflow: cache off for good */
+            } else {
+                grow = geo_bytes + geo_cur;
+                memset(grow, 0, (size_t)w);
+                geo_off[i + 1] = w;
+                geo_cur += w;
+            }
+        }
         for (b = b0; b < a; ++b) {
             const hot_t *hj = &hl[b];
             int64_t ov, j, loser, winner;
@@ -259,6 +327,14 @@ static int64_t sweep_shadow_core(
             j = orig[b];
             sj = hj->pscore;
             wj = hj->weak;
+            if (grow) {
+                /* pair passed every round-invariant gate: freeze it plus
+                 * the same-gene bit and the (pscore, rank) tie order */
+                uint8_t by = 1;
+                if (hi_r.gid == hj->gid) by |= 2;
+                if (si < sj || (si == sj && hi_r.rank > hj->rank)) by |= 4;
+                grow[j - gjlo] = by;
+            }
             if (hi_r.gid == hj->gid || wi == wj)
                 loser = (si < sj || (si == sj && hi_r.rank > hj->rank))
                     ? i : j;
@@ -274,6 +350,11 @@ static int64_t sweep_shadow_core(
         }
     }
     free(hl); free(orig);
+    if (geo_rec) {
+        /* widths -> offsets; the cache serves every later round */
+        for (i = 0; i < n; ++i) geo_off[i + 1] += geo_off[i];
+        *geo_state = 1;
+    }
     for (i = 0; i < n; ++i) {
         if (flt[i]) continue;
         pid_dom[i] = -1;
@@ -495,7 +576,9 @@ int64_t pg_round_genome(
     int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
     uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
     int32_t *out_s1, int32_t *out_s2,
-    hot_t *hot_buf, int32_t hot_valid)
+    hot_t *hot_buf, int32_t hot_valid,
+    int64_t *geo_off, uint8_t *geo_bytes, int64_t geo_cap,
+    int32_t *geo_state)
 {
     if (run_shadow) {
         if (hot_buf) {
@@ -508,9 +591,14 @@ int64_t pg_round_genome(
                             prot_gid, gene_pref, hot_buf);
             else
                 pg_hot_refresh(n, flt, weak_br, hot_buf);
+            /* per-genome pair-geometry cache: recorded as a byproduct of
+             * the first sweep (state 0->1), byte lookups thereafter,
+             * permanently off on cap overflow (-1); see the cache contract
+             * above sweep_shadow_core */
             sweep_shadow_core(n, hot_buf, pid, score_ori, eos, eoe, flt,
                               check_strand, min_ov_ratio, 0,
-                              shadow, pid_dom, score_dom);
+                              shadow, pid_dom, score_dom,
+                              geo_off, geo_bytes, geo_cap, geo_state);
         } else {
             pg_sweep_shadow(n, pid, rank, score_adj, score_ori, n_exon,
                             off_exon, cid, rev, flt, weak_br, cs, ce,

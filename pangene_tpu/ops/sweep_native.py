@@ -104,6 +104,8 @@ def _get_lib():
             ctypes.c_int32, ctypes.c_int32, _i32p,
             ctypes.c_void_p, _i32p, _i32p, _i32p, _i32p,
             ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
         ]
         lib.pg_hot_size.restype = ctypes.c_int64
         lib.pg_hot_size.argtypes = []
@@ -259,6 +261,7 @@ def _c(a, dt):
 _EMPTY_I32 = np.zeros(1, np.int32)
 _HOT_SIZE = 64  # sizeof(hot_t); validated against pg_hot_size() on load
 _NO_HOTCACHE = bool(os.environ.get("PANGENE_NO_HOTCACHE"))
+_NO_GEOCACHE = bool(os.environ.get("PANGENE_NO_GEOCACHE"))
 
 
 def _exon_ptrs(g: Genome):
@@ -461,6 +464,24 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
             gen._hot_buf = hot
             hot_valid = 0
         hot_ptr = _p(hot[0], np.uint8, None)
+    # per-genome pair-geometry cache (pgsweep.c:sweep_shadow_core contract):
+    # recorded by C as a byproduct of the first hot-cached sweep, byte
+    # lookups thereafter; version-keyed like the hot table.
+    # state: 0 record-pending, 1 valid, -1 cap overflow (off for good)
+    geo_off_ptr = geo_bytes_ptr = geo_state_ptr = None
+    geo_cap = 0
+    if hot_ptr is not None and not _NO_GEOCACHE:
+        ver = getattr(h, "_ver", 0)
+        geo = getattr(gen, "_geo_buf", None)
+        geo_cap = 64 * max(n, 1)
+        if geo is None or geo[3] != ver:
+            geo = (np.empty(n + 1, np.int64), np.empty(geo_cap, np.uint8),
+                   np.zeros(1, np.int32), ver)
+            gen._geo_buf = geo
+        geo_cap = len(geo[1])
+        geo_off_ptr = _p(geo[0], np.int64, None)
+        geo_bytes_ptr = _p(geo[1], np.uint8, None)
+        geo_state_ptr = _p(geo[2], np.int32, None)
     ad = _hit_addrs(h)
     m = int(lib.pg_round_genome(
         n,
@@ -485,7 +506,8 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
         buf_addr[0], buf_addr[1],
         buf_addr[2],
         buf_addr[3], buf_addr[4],
-        hot_ptr, 1 if hot_valid else 0))
+        hot_ptr, 1 if hot_valid else 0,
+        geo_off_ptr, geo_bytes_ptr, geo_cap, geo_state_ptr))
     assert m >= 0, "kept hit maps to deleted segment"
     return (out_x[:m], out_n[:m], out_dist[:m], out_s1[:m], out_s2[:m],
             seg_cnt[:n_seg])
