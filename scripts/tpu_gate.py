@@ -180,6 +180,40 @@ def main() -> int:
         }
         out["checks"]["big_corpus_sharded_md5"] = "identical (%s)" \
             % md5_big[:8]
+        _dump(out)
+
+    # ---- 5. NORTH STAR (100 haplotypes x 19k genes / 3.9M records, the
+    # paper's headline workload, tex/pangene.tex:558) through the device
+    # schedule on the real chip (VERDICT r3 item 6). Opt-in: the ~300 MB
+    # chunked upload + a fresh compile of the 39936-hit shape make this a
+    # multi-hour first run. md5 pinned by NORTHSTAR_MESH_northstar.json. ----
+    if os.environ.get("PANGENE_TPU_NORTHSTAR", "0") == "1":
+        ns = os.path.join(tempfile.gettempdir(), "pg_bench_100_19000_42")
+        if not os.path.exists(os.path.join(ns, "done")):
+            synth_paf_files(ns, n_genome=100, n_gene=19000, n_iso=3,
+                            seed=42)
+            open(os.path.join(ns, "done"), "w").write("ok")
+        nfiles = sorted(os.path.join(ns, f) for f in os.listdir(ns)
+                        if f.endswith(".paf.gz"))
+        n_ns = sum(sum(1 for _ in gzip.open(f)) for f in nfiles)
+        util.verbose = 3
+        t0 = time.monotonic()
+        buf = io.StringIO()
+        pipeline.run(PgOpt(engine="sharded"), nfiles, out=buf)
+        dt = time.monotonic() - t0
+        util.verbose = 0
+        assert device_loop.LAST.get("engaged"), device_loop.LAST
+        md5_ns = hashlib.md5(buf.getvalue().encode()).hexdigest()
+        assert md5_ns == "9eccc87817f4450bab1ae54a0dac331a", md5_ns
+        out["northstar_sharded"] = {
+            "n_records": n_ns, "s": round(dt, 2),
+            "records_per_s": round(n_ns / dt, 1),
+            "md5": md5_ns[:8],
+            "breakdown": dict(device_loop.LAST,
+                              host_stages=dict(util.stage_stats)),
+        }
+        out["checks"]["northstar_sharded_md5"] = "identical (%s)" \
+            % md5_ns[:8]
     out["ok"] = True
     with open(os.path.join(ROOT, "TPU_GATE.json"), "w") as f:
         json.dump(out, f, indent=1)
