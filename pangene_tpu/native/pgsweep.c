@@ -941,15 +941,16 @@ int64_t pg_merge_arcs_tree_p(
     return m;
 }
 
-static int64_t merge_tree_core(
-    int32_t n_src, const int64_t *offs, agg_t *A, agg_t *B,
-    uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
-    int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2)
+/* Reduce n_src x-sorted agg runs (concatenated in A, delimited by offs)
+ * to one run; returns its length and points *res at it (inside A or B —
+ * both remain caller-owned). */
+static int64_t tree_reduce(int32_t n_src, const int64_t *offs,
+                           agg_t *A, agg_t *B, agg_t **res)
 {
     int64_t *lo = (int64_t *)malloc(((size_t)n_src + 2) * 8);
     int64_t *lo2 = (int64_t *)malloc(((size_t)n_src + 2) * 8);
     agg_t *T;
-    int64_t k, m;
+    int64_t m;
     int32_t L = n_src, s;
     for (s = 0; s <= n_src; ++s) lo[s] = offs[s];
     while (L > 1) {
@@ -973,6 +974,19 @@ static int64_t merge_tree_core(
         L = M;
     }
     m = L ? lo[1] : 0;
+    *res = A;   /* the buffer (original A or B) holding the final run */
+    free(lo); free(lo2);
+    return m;
+}
+
+static int64_t merge_tree_core(
+    int32_t n_src, const int64_t *offs, agg_t *A, agg_t *B,
+    uint64_t *out_x, int32_t *out_ng, int32_t *out_tot,
+    int32_t *out_avg_dist, int32_t *out_s1, int32_t *out_s2)
+{
+    agg_t *R;
+    int64_t k, m = tree_reduce(n_src, offs, A, B, &R);
+    A = R;
     for (k = 0; k < m; ++k) {
         out_x[k] = A[k].x;
         out_ng[k] = (int32_t)A[k].ng;
@@ -984,8 +998,7 @@ static int64_t merge_tree_core(
         out_s2[k] = (int32_t)(int64_t)(
             (double)A[k].s2s / (double)A[k].ng + 0.499);
     }
-    free(lo); free(lo2);   /* A/B are the callers' to free */
-    return m;
+    return m;   /* A/B are the callers' to free */
 }
 
 /* Cross-genome arc merge (graph.c:151-175; ops/arcs.py merge_arcs).

@@ -289,13 +289,29 @@ def _globals(d: DataSet):
     return pg, gp
 
 
+def _global_addrs(d: DataSet):
+    """(prot_gid, gene_pref) ADDRESSES, size-keyed: the tables are
+    grow-only and fixed once parsing ends, so the round loop's thousands
+    of lookups collapse to two int compares (measured ~2-3% of host wall
+    as property-chain/len churn in _globals)."""
+    cache = getattr(d, "_gaddr", None)
+    np_, ng = d.n_prot, d.n_gene
+    if cache is not None and cache[0] == np_ and cache[1] == ng:
+        return cache[2], cache[3]
+    pg, gp = _globals(d)
+    cache = (np_, ng, _addr_of(d, "_pg_addr", pg),
+             _addr_of(d, "_gp_addr", gp))
+    d._gaddr = cache                    # type: ignore[attr-defined]
+    return cache[2], cache[3]
+
+
 def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
     lib = _get_lib()
     h = g.hits
     n = len(h)
     if n == 0:
         return 0
-    pg, gp = _globals(d)
+    pga, gpa = _global_addrs(d)
     eos, eoe = _exon_ptrs(g)
     ad = _hit_addrs(h)
     return int(lib.pg_sweep_shadow(
@@ -308,7 +324,7 @@ def shadow(opt: PgOpt, d: DataSet, g: Genome, cal_dom_sc: bool) -> int:
         ad["weak_br"],
         ad["cs"], ad["ce"],
         eos, eoe,
-        _addr_of(d, "_pg_addr", pg), _addr_of(d, "_gp_addr", gp),
+        pga, gpa,
         1 if opt.check_strand else 0, float(opt.min_ov_ratio),
         1 if cal_dom_sc else 0,
         ad["shadow"],
@@ -431,7 +447,7 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
     lib = _get_lib()
     h = gen.hits
     n = len(h)
-    pg, gp = _globals(d)
+    pga, gpa = _global_addrs(d)
     cap = max(2 * (n - 1), 1) if n > 1 else 1
     buf = getattr(gen, "_round_buf", None)
     if buf is None or len(buf[0][0]) < cap or len(buf[0][5]) < max(n_seg, 1):
@@ -493,7 +509,7 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
         ad["weak_br"],
         ad["cs"], ad["ce"],
         eos, eoe,
-        _addr_of(d, "_pg_addr", pg), _addr_of(d, "_gp_addr", gp),
+        pga, gpa,
         1 if opt.check_strand else 0, float(opt.min_ov_ratio),
         ad["shadow"],
         ad["pid_dom"], ad["score_dom"],
