@@ -78,7 +78,10 @@ class Graph:
         prot_gid = np.asarray(self.d.prot_gid, np.int32)
         for g in self.d.genomes:
             h = g.hits
-            h.set("vtx", (self.g2s[prot_gid[h.pid]] >= 0).astype(np.uint8))
+            # in place: vtx runs every round and a set() would bump the
+            # physical version, spuriously invalidating the native hot /
+            # geo / walk-pack caches (none of which read vtx)
+            np.greater_equal(self.g2s[prot_gid[h.pid]], 0, out=h.vtx.view(bool))
 
     def arc_index(self) -> None:
         """CSR index over x-sorted arcs (pg_arc_index_core, graph.c:202-211)."""

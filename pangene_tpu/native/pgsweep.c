@@ -153,7 +153,7 @@ static int64_t sweep_shadow_core(
     int64_t n, const hot_t *ht,
     const int32_t *pid, const int32_t *score_ori,
     const int32_t *eos, const int32_t *eoe,
-    const uint8_t *flt,
+    const uint8_t *flt, const uint8_t *weak_br,
     int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
     uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom,
     int64_t *geo_off, uint8_t *geo_bytes, int64_t geo_cap,
@@ -167,7 +167,7 @@ int64_t pg_sweep_shadow_hot(
     int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
     uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom)
 {
-    return sweep_shadow_core(n, ht, pid, score_ori, eos, eoe, flt,
+    return sweep_shadow_core(n, ht, pid, score_ori, eos, eoe, flt, 0,
                              check_strand, min_ov_ratio, cal_dom_sc,
                              shadow, pid_dom, score_dom, 0, 0, 0, 0);
 }
@@ -190,7 +190,7 @@ int64_t pg_sweep_shadow(
     if (n == 0) return 0;
     ht = pack_hot(n, pid, rank, score_adj, n_exon, off_exon, cid, rev,
                   flt, weak_br, cs, ce, eos, eoe, prot_gid, gene_pref);
-    r = sweep_shadow_core(n, ht, pid, score_ori, eos, eoe, flt,
+    r = sweep_shadow_core(n, ht, pid, score_ori, eos, eoe, flt, 0,
                           check_strand, min_ov_ratio, cal_dom_sc,
                           shadow, pid_dom, score_dom, 0, 0, 0, 0);
     free(ht);
@@ -215,7 +215,7 @@ static int64_t sweep_shadow_core(
     int64_t n, const hot_t *ht,
     const int32_t *pid, const int32_t *score_ori,
     const int32_t *eos, const int32_t *eoe,
-    const uint8_t *flt,
+    const uint8_t *flt, const uint8_t *weak_br,
     int32_t check_strand, double min_ov_ratio, int32_t cal_dom_sc,
     uint8_t *shadow, int32_t *pid_dom, int32_t *score_dom,
     int64_t *geo_off, uint8_t *geo_bytes, int64_t geo_cap,
@@ -247,8 +247,10 @@ static int64_t sweep_shadow_core(
     hl = (hot_t *)malloc((n ? n : 1) * sizeof(hot_t));
     orig = (int64_t *)malloc((n ? n : 1) * 8);
     for (i = 0; i < n; ++i) {
-        if (ht[i].flt) continue;
+        if (flt[i]) continue;        /* live column, NOT the frozen pack */
         hl[nl] = ht[i];
+        hl[nl].flt = 0;
+        if (weak_br) hl[nl].weak = weak_br[i];
         orig[nl] = i;
         ++nl;
     }
@@ -551,6 +553,19 @@ int64_t pg_walk_arcs(
     uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
     int32_t *out_s1, int32_t *out_s2);
 
+static int64_t walk_cached(
+    int64_t n, const int64_t *view,
+    const uint8_t *flt, const uint8_t *shadow,
+    const int32_t *pid, const uint8_t *rev, const int32_t *cid,
+    const int64_t *cm,
+    const int32_t *score_ori, const int32_t *score_dom,
+    const int32_t *pid_dom0,
+    const int32_t *prot_gid, const int32_t *g2s,
+    int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
+    uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
+    int32_t *out_s1, int32_t *out_s2,
+    void *wpack, int32_t wpack_valid, uint8_t *wscratch);
+
 /* Fused per-genome round stage: shadow sweep (cal_dom_sc = 0) followed by
  * walk extraction + dedupe, one crossing of the ctypes boundary per
  * genome per round instead of two. run_shadow = 0 skips the sweep (the
@@ -578,7 +593,8 @@ int64_t pg_round_genome(
     int32_t *out_s1, int32_t *out_s2,
     hot_t *hot_buf, int32_t hot_valid,
     int64_t *geo_off, uint8_t *geo_bytes, int64_t geo_cap,
-    int32_t *geo_state)
+    int32_t *geo_state,
+    void *wpack, int32_t wpack_valid, uint8_t *wscratch)
 {
     if (run_shadow) {
         if (hot_buf) {
@@ -589,14 +605,15 @@ int64_t pg_round_genome(
                 pg_hot_pack(n, pid, rank, score_adj, n_exon, off_exon,
                             cid, rev, flt, weak_br, cs, ce, eos, eoe,
                             prot_gid, gene_pref, hot_buf);
-            else
-                pg_hot_refresh(n, flt, weak_br, hot_buf);
+            /* the pack is fully frozen: live flt/weak are read from the
+             * columns at sublist build, so no per-round refresh pass
+             * (it touched every 64B line of the table) */
             /* per-genome pair-geometry cache: recorded as a byproduct of
              * the first sweep (state 0->1), byte lookups thereafter,
              * permanently off on cap overflow (-1); see the cache contract
              * above sweep_shadow_core */
             sweep_shadow_core(n, hot_buf, pid, score_ori, eos, eoe, flt,
-                              check_strand, min_ov_ratio, 0,
+                              weak_br, check_strand, min_ov_ratio, 0,
                               shadow, pid_dom, score_dom,
                               geo_off, geo_bytes, geo_cap, geo_state);
         } else {
@@ -606,21 +623,24 @@ int64_t pg_round_genome(
                             min_ov_ratio, 0, shadow, pid_dom, score_dom);
         }
     }
-    return pg_walk_arcs(n, view, flt, shadow, pid, rev, cid, cm,
-                        score_ori, score_dom, pid_dom0, prot_gid, g2s,
-                        use_ori, n_seg, seg_cnt,
-                        out_x, out_n, out_dist, out_s1, out_s2);
+    return walk_cached(n, view, flt, shadow, pid, rev, cid, cm,
+                       score_ori, score_dom, pid_dom0, prot_gid, g2s,
+                       use_ori, n_seg, seg_cnt,
+                       out_x, out_n, out_dist, out_s1, out_s2,
+                       wpack, wpack_valid, wscratch);
 }
 
 /* ---------------- arc extraction / dedupe / merge ---------------- */
 
 typedef struct { uint64_t x; int64_t d; int32_t s1, s2; } tmparc_t;
 
-/* stable LSD radix sort of (key, index) pairs; empty byte passes skipped */
-static void radix_sort_u64(uint64_t *keys, uint32_t *idx, int64_t n)
+/* stable LSD radix sort of (key, index) pairs; empty byte passes skipped.
+ * kb0/ib0: optional caller scratch of n entries (else malloc'd). */
+static void radix_sort_u64_s(uint64_t *keys, uint32_t *idx, int64_t n,
+                             uint64_t *kb0, uint32_t *ib0)
 {
-    uint64_t *ka = keys, *kb = (uint64_t *)malloc(n * 8);
-    uint32_t *ia = idx, *ib = (uint32_t *)malloc(n * 4);
+    uint64_t *ka = keys, *kb = kb0 ? kb0 : (uint64_t *)malloc(n * 8);
+    uint32_t *ia = idx, *ib = ib0 ? ib0 : (uint32_t *)malloc(n * 4);
     int64_t cnt[256], pos[256], i;
     int pass;
     for (pass = 0; pass < 8; ++pass) {
@@ -643,21 +663,57 @@ static void radix_sort_u64(uint64_t *keys, uint32_t *idx, int64_t n)
     if (ka != keys) {
         memcpy(keys, ka, n * 8);
         memcpy(idx, ia, n * 4);
-        free(ka); free(ia);
-    } else {
-        free(kb); free(ib);
+    }
+    if (!kb0) { free(ka == keys ? kb : ka); free(ia == idx ? ib : ia); }
+}
+
+static void radix_sort_u64(uint64_t *keys, uint32_t *idx, int64_t n)
+{
+    radix_sort_u64_s(keys, idx, n, 0, 0);
+}
+
+/* Walk-constant record, one per cm position: every field of the walk scan
+ * that is frozen after ingest (pid/cid/cm/rev/score_ori and the pid_dom0
+ * snapshot never change; the view itself is the memoized cm permutation),
+ * laid out sequentially in walk order so the per-round scan's only random
+ * reads are the live columns (flt/shadow/score_dom via phys) and g2s. */
+typedef struct {
+    int64_t cm;
+    int32_t phys, cid, gid, dom_gid, sc_ori;
+    uint8_t rev;
+    uint8_t pad[3];
+} wrec_t;
+
+int64_t pg_wrec_size(void) { return (int64_t)sizeof(wrec_t); }
+
+void pg_walk_pack(
+    int64_t n, const int64_t *view,
+    const int32_t *pid, const uint8_t *rev, const int32_t *cid,
+    const int64_t *cm, const int32_t *score_ori, const int32_t *pid_dom0,
+    const int32_t *prot_gid, wrec_t *wp)
+{
+    int64_t k;
+    for (k = 0; k < n; ++k) {
+        int64_t i = view ? view[k] : k;
+        wp[k].cm = cm[i];
+        wp[k].phys = (int32_t)i;
+        wp[k].cid = cid[i];
+        wp[k].gid = prot_gid[pid[i]];
+        wp[k].dom_gid = pid_dom0[i] < 0 ? -1 : prot_gid[pid_dom0[i]];
+        wp[k].sc_ori = score_ori[i];
+        wp[k].rev = rev[i];
     }
 }
 
-/* Per-genome gene-walk arc extraction + dedupe (pg_gen_arc per-genome part,
- * graph.c:106-145; semantics of ops/arcs.py walk_extract + dedupe_genome).
- * view (may be NULL) is the cm-order index vector over the cs-physical hit
- * columns. Each adjacent kept pair on one contig emits the arc and its
- * complement; dedupe groups by x with count / +.499-rounded mean distance /
- * max scores. seg_cnt (caller-zeroed, [n_seg]) receives per-segment kept-
- * hit counts. Output buffers must hold 2*(n-1) entries; returns the number
- * of deduped arcs, or -1 when a kept hit maps to a deleted segment. */
-int64_t pg_walk_arcs(
+/* scratch for one walk call: 2*(n-1) entries each; caller-reused across
+ * rounds to avoid the per-call malloc/mmap churn of ~400KB */
+typedef struct {
+    tmparc_t *tmp;
+    uint64_t *xs, *kb;
+    uint32_t *ix, *ib;
+} wscratch_t;
+
+static int64_t walk_core(
     int64_t n, const int64_t *view,
     const uint8_t *flt, const uint8_t *shadow,
     const int32_t *pid, const uint8_t *rev, const int32_t *cid,
@@ -667,46 +723,85 @@ int64_t pg_walk_arcs(
     const int32_t *prot_gid, const int32_t *g2s,
     int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
     uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
-    int32_t *out_s1, int32_t *out_s2)
+    int32_t *out_s1, int32_t *out_s2,
+    const wrec_t *wp, const wscratch_t *ws)
 {
     int64_t k, m = 0, prev = -1;
     int64_t prev_w = 0, prev_sc = 0;
-    tmparc_t *tmp = (tmparc_t *)malloc((n > 1 ? 2 * (n - 1) : 1)
-                                       * sizeof(tmparc_t));
-    int64_t n_tmp = 0, w_out;
-    for (k = 0; k < n; ++k) {
-        int64_t i = view ? view[k] : k;
-        int64_t sid, w, sc;
-        if (flt[i] || shadow[i]) continue;
-        sid = g2s[prot_gid[pid[i]]];
-        if (sid < 0) { free(tmp); return -1; }
-        if (sid < n_seg) ++seg_cnt[sid];
-        w = (sid << 1) | rev[i];
-        if (use_ori || score_ori[i] > score_dom[i] || pid_dom0[i] < 0
-            || g2s[prot_gid[pid_dom0[i]]] >= 0)
-            sc = score_ori[i];
-        else
-            sc = score_dom[i];
-        if (prev >= 0 && cid[prev] == cid[i]) {
-            int64_t dist = cm[i] - cm[prev];
-            tmp[n_tmp].x = ((uint64_t)prev_w << 32) | (uint64_t)w;
-            tmp[n_tmp].d = dist;
-            tmp[n_tmp].s1 = (int32_t)prev_sc;
-            tmp[n_tmp].s2 = (int32_t)sc;
-            ++n_tmp;
-            tmp[n_tmp].x = ((uint64_t)(w ^ 1) << 32) | (uint64_t)(prev_w ^ 1);
-            tmp[n_tmp].d = dist;
-            tmp[n_tmp].s1 = (int32_t)sc;
-            tmp[n_tmp].s2 = (int32_t)prev_sc;
-            ++n_tmp;
+    int64_t cap = n > 1 ? 2 * (n - 1) : 1;
+    tmparc_t *tmp = ws ? ws->tmp : (tmparc_t *)malloc(cap * sizeof(tmparc_t));
+    int64_t n_tmp = 0;
+    int64_t prev_cm = 0;
+    int32_t prev_cid = -1;
+    if (wp) {
+        /* packed scan: sequential wrec stream; flt/shadow/score_dom/g2s
+         * are the only gathers */
+        for (k = 0; k < n; ++k) {
+            const wrec_t *r = &wp[k];
+            int64_t i = r->phys, sid, w, sc;
+            if (flt[i] || shadow[i]) continue;
+            sid = g2s[r->gid];
+            if (sid < 0) { if (!ws) free(tmp); return -1; }
+            if (sid < n_seg) ++seg_cnt[sid];
+            w = (sid << 1) | r->rev;
+            if (use_ori || r->sc_ori > score_dom[i] || r->dom_gid < 0
+                || g2s[r->dom_gid] >= 0)
+                sc = r->sc_ori;
+            else
+                sc = score_dom[i];
+            if (prev >= 0 && prev_cid == r->cid) {
+                int64_t dist = r->cm - prev_cm;
+                tmp[n_tmp].x = ((uint64_t)prev_w << 32) | (uint64_t)w;
+                tmp[n_tmp].d = dist;
+                tmp[n_tmp].s1 = (int32_t)prev_sc;
+                tmp[n_tmp].s2 = (int32_t)sc;
+                ++n_tmp;
+                tmp[n_tmp].x = ((uint64_t)(w ^ 1) << 32)
+                    | (uint64_t)(prev_w ^ 1);
+                tmp[n_tmp].d = dist;
+                tmp[n_tmp].s1 = (int32_t)sc;
+                tmp[n_tmp].s2 = (int32_t)prev_sc;
+                ++n_tmp;
+            }
+            prev = i; prev_w = w; prev_sc = sc;
+            prev_cid = r->cid; prev_cm = r->cm;
         }
-        prev = i; prev_w = w; prev_sc = sc;
+    } else {
+        for (k = 0; k < n; ++k) {
+            int64_t i = view ? view[k] : k;
+            int64_t sid, w, sc;
+            if (flt[i] || shadow[i]) continue;
+            sid = g2s[prot_gid[pid[i]]];
+            if (sid < 0) { if (!ws) free(tmp); return -1; }
+            if (sid < n_seg) ++seg_cnt[sid];
+            w = (sid << 1) | rev[i];
+            if (use_ori || score_ori[i] > score_dom[i] || pid_dom0[i] < 0
+                || g2s[prot_gid[pid_dom0[i]]] >= 0)
+                sc = score_ori[i];
+            else
+                sc = score_dom[i];
+            if (prev >= 0 && cid[prev] == cid[i]) {
+                int64_t dist = cm[i] - cm[prev];
+                tmp[n_tmp].x = ((uint64_t)prev_w << 32) | (uint64_t)w;
+                tmp[n_tmp].d = dist;
+                tmp[n_tmp].s1 = (int32_t)prev_sc;
+                tmp[n_tmp].s2 = (int32_t)sc;
+                ++n_tmp;
+                tmp[n_tmp].x = ((uint64_t)(w ^ 1) << 32)
+                    | (uint64_t)(prev_w ^ 1);
+                tmp[n_tmp].d = dist;
+                tmp[n_tmp].s1 = (int32_t)sc;
+                tmp[n_tmp].s2 = (int32_t)prev_sc;
+                ++n_tmp;
+            }
+            prev = i; prev_w = w; prev_sc = sc;
+        }
     }
     {
-        uint64_t *xs = (uint64_t *)malloc((n_tmp ? n_tmp : 1) * 8);
-        uint32_t *ix = (uint32_t *)malloc((n_tmp ? n_tmp : 1) * 4);
+        uint64_t *xs = ws ? ws->xs : (uint64_t *)malloc((n_tmp ? n_tmp : 1) * 8);
+        uint32_t *ix = ws ? ws->ix : (uint32_t *)malloc((n_tmp ? n_tmp : 1) * 4);
         for (k = 0; k < n_tmp; ++k) { xs[k] = tmp[k].x; ix[k] = (uint32_t)k; }
-        radix_sort_u64(xs, ix, n_tmp);
+        radix_sort_u64_s(xs, ix, n_tmp, ws ? ws->kb : 0, ws ? ws->ib : 0);
         for (k = 0; k < n_tmp; ) {
             /* group max seeded with 0, matching the NumPy maximum.at-into-
              * zeros dedupe (scores are non-negative in practice) */
@@ -730,11 +825,72 @@ int64_t pg_walk_arcs(
             ++m;
             k = e;
         }
-        free(xs); free(ix);
+        if (!ws) { free(xs); free(ix); }
     }
-    free(tmp);
-    w_out = m;
-    return w_out;
+    if (!ws) free(tmp);
+    return m;
+}
+
+/* Per-genome gene-walk arc extraction + dedupe (pg_gen_arc per-genome part,
+ * graph.c:106-145; semantics of ops/arcs.py walk_extract + dedupe_genome).
+ * view (may be NULL) is the cm-order index vector over the cs-physical hit
+ * columns. Each adjacent kept pair on one contig emits the arc and its
+ * complement; dedupe groups by x with count / +.499-rounded mean distance /
+ * max scores. seg_cnt (caller-zeroed, [n_seg]) receives per-segment kept-
+ * hit counts. Output buffers must hold 2*(n-1) entries; returns the number
+ * of deduped arcs, or -1 when a kept hit maps to a deleted segment. */
+int64_t pg_walk_arcs(
+    int64_t n, const int64_t *view,
+    const uint8_t *flt, const uint8_t *shadow,
+    const int32_t *pid, const uint8_t *rev, const int32_t *cid,
+    const int64_t *cm,
+    const int32_t *score_ori, const int32_t *score_dom,
+    const int32_t *pid_dom0,
+    const int32_t *prot_gid, const int32_t *g2s,
+    int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
+    uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
+    int32_t *out_s1, int32_t *out_s2)
+{
+    return walk_core(n, view, flt, shadow, pid, rev, cid, cm, score_ori,
+                     score_dom, pid_dom0, prot_gid, g2s, use_ori, n_seg,
+                     seg_cnt, out_x, out_n, out_dist, out_s1, out_s2,
+                     0, 0);
+}
+
+/* pg_round_genome's walk entry: optional frozen walk-pack (built here on
+ * first use, wpack_valid = 0) and a caller-reused scratch blob laid out as
+ * tmp[cap] | xs[cap] | kb[cap] | ix[cap] | ib[cap] with cap = 2*(n-1). */
+static int64_t walk_cached(
+    int64_t n, const int64_t *view,
+    const uint8_t *flt, const uint8_t *shadow,
+    const int32_t *pid, const uint8_t *rev, const int32_t *cid,
+    const int64_t *cm,
+    const int32_t *score_ori, const int32_t *score_dom,
+    const int32_t *pid_dom0,
+    const int32_t *prot_gid, const int32_t *g2s,
+    int32_t use_ori, int32_t n_seg, int32_t *seg_cnt,
+    uint64_t *out_x, int32_t *out_n, int32_t *out_dist,
+    int32_t *out_s1, int32_t *out_s2,
+    void *wpack, int32_t wpack_valid, uint8_t *wscratch)
+{
+    wrec_t *wp = (wrec_t *)wpack;
+    wscratch_t ws, *wsp = 0;
+    if (wp && !wpack_valid)
+        pg_walk_pack(n, view, pid, rev, cid, cm, score_ori, pid_dom0,
+                     prot_gid, wp);
+    if (wscratch) {
+        int64_t cap = n > 1 ? 2 * (n - 1) : 1;
+        ws.tmp = (tmparc_t *)wscratch;
+        ws.xs = (uint64_t *)(wscratch + cap * (int64_t)sizeof(tmparc_t));
+        ws.kb = ws.xs + cap;
+        ws.ix = (uint32_t *)(ws.kb + cap);
+        ws.ib = ws.ix + cap;
+        wsp = &ws;
+    }
+    return walk_core(n, view, flt, shadow, pid, rev, cid, cm, score_ori,
+                     score_dom, pid_dom0, prot_gid, g2s, use_ori, n_seg,
+                     seg_cnt, out_x, out_n, out_dist, out_s1, out_s2,
+                     wp, wsp);
 }
 
 /* Representative positions for one genome (pg_gen_rep_pos, branch.c:6-29):

@@ -106,11 +106,16 @@ def _get_lib():
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
         ]
         lib.pg_hot_size.restype = ctypes.c_int64
         lib.pg_hot_size.argtypes = []
         assert int(lib.pg_hot_size()) == _HOT_SIZE, \
             "hot_t layout drift: update _HOT_SIZE"
+        lib.pg_wrec_size.restype = ctypes.c_int64
+        lib.pg_wrec_size.argtypes = []
+        assert int(lib.pg_wrec_size()) == _WREC_SIZE, \
+            "wrec_t layout drift: update _WREC_SIZE"
         lib.pg_rep_pos.restype = ctypes.c_int64
         lib.pg_rep_pos.argtypes = [
             ctypes.c_int64, _u8p, _u8p, _i32p, _i32p, _i64p,
@@ -260,6 +265,7 @@ def _c(a, dt):
 
 _EMPTY_I32 = np.zeros(1, np.int32)
 _HOT_SIZE = 64  # sizeof(hot_t); validated against pg_hot_size() on load
+_WREC_SIZE = 32  # sizeof(wrec_t); validated against pg_wrec_size() on load
 _NO_HOTCACHE = bool(os.environ.get("PANGENE_NO_HOTCACHE"))
 _NO_GEOCACHE = bool(os.environ.get("PANGENE_NO_GEOCACHE"))
 
@@ -498,6 +504,29 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
         geo_off_ptr = _p(geo[0], np.int64, None)
         geo_bytes_ptr = _p(geo[1], np.uint8, None)
         geo_state_ptr = _p(geo[2], np.int32, None)
+    # frozen walk-pack (pgsweep.c:wrec_t): the walk scan's round-invariant
+    # fields laid out sequentially in cm order; valid while neither the
+    # physical layout (_ver) nor the memoized view object changed. Only
+    # meaningful with a stable view (view=None means the caller physically
+    # re-sorts around this call).
+    wpack_ptr = None
+    wpack_valid = 0
+    wscratch_ptr = None
+    if view is not None and not _NO_HOTCACHE:
+        ver = getattr(h, "_ver", 0)
+        key = (ver, id(view))
+        wp = getattr(gen, "_wpack_buf", None)
+        wpack_valid = 1
+        if wp is None or wp[1] != key or len(wp[0]) < n * _WREC_SIZE:
+            wp = (np.empty(max(n, 1) * _WREC_SIZE, np.uint8), key, view)
+            gen._wpack_buf = wp          # holds view alive for id() safety
+            wpack_valid = 0
+        wpack_ptr = _p(wp[0], np.uint8, None)
+        wsc = getattr(gen, "_wscratch_buf", None)
+        if wsc is None or len(wsc) < cap * 48:
+            wsc = np.empty(max(cap, 1) * 48, np.uint8)
+            gen._wscratch_buf = wsc
+        wscratch_ptr = _p(wsc, np.uint8, None)
     ad = _hit_addrs(h)
     m = int(lib.pg_round_genome(
         n,
@@ -523,7 +552,8 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
         buf_addr[2],
         buf_addr[3], buf_addr[4],
         hot_ptr, 1 if hot_valid else 0,
-        geo_off_ptr, geo_bytes_ptr, geo_cap, geo_state_ptr))
+        geo_off_ptr, geo_bytes_ptr, geo_cap, geo_state_ptr,
+        wpack_ptr, wpack_valid, wscratch_ptr))
     assert m >= 0, "kept hit maps to deleted segment"
     return (out_x[:m], out_n[:m], out_dist[:m], out_s1[:m], out_s2[:m],
             seg_cnt[:n_seg])
