@@ -33,10 +33,12 @@ def hit_sort_perm(cid: np.ndarray, key: np.ndarray) -> np.ndarray:
 class _SortCache:
     """Per-genome memo of sort permutations keyed by order state."""
 
-    __slots__ = ("state", "trans", "orders", "order_index", "next_tag")
+    __slots__ = ("state", "trans", "orders", "order_index", "next_tag",
+                 "_ident_view")
 
     def __init__(self, n: int) -> None:
         self.state = 0
+        self._ident_view = None
         base = np.arange(n, dtype=np.int32)
         self.orders: Dict[int, np.ndarray] = {0: base}
         self.order_index: Dict[bytes, int] = {base.tobytes(): 0}
@@ -69,8 +71,16 @@ def cm_cycle_view(g: Genome):
     back = c.trans.get((t, False))
     if back is None or back[1] != c.state:
         return None
-    n = len(g.hits)
-    return perm if perm is not None else np.arange(n, dtype=np.int64)
+    if perm is not None:
+        return perm
+    # memoized identity: downstream caches (sweep_native walk-pack) key on
+    # the view OBJECT identity, so a fresh arange per round would
+    # spuriously invalidate them
+    ident = getattr(c, "_ident_view", None)
+    if ident is None or len(ident) != len(g.hits):
+        ident = np.arange(len(g.hits), dtype=np.int64)
+        c._ident_view = ident
+    return ident
 
 
 def hit_sort(g: Genome, by_cm: bool) -> None:
