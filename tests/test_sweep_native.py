@@ -229,3 +229,79 @@ def test_merge_tree_vs_kway(seed):
         outs.append([b[:m].copy() for b in bufs])
     for a, b in zip(*outs):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_round_caches_across_monotone_rounds(seed):
+    """Multi-ROUND differential fuzz of the native cache stack (hot table,
+    pair-geometry byte cache, walk-pack, scratch reuse): run the fused
+    round stage repeatedly on the same genome while flt/weak evolve
+    MONOTONICALLY (flt only ever set, weak max-only — the invariants the
+    caches rely on; see pgsweep.c:sweep_shadow_core contract) and g2s
+    mutates arbitrarily, comparing every round's outputs against a fresh
+    cold-cache computation on a cloned genome."""
+    from pangene_tpu.ops.sort import cm_cycle_view, hit_sort
+    rng = np.random.default_rng(900 + seed)
+    opt = PgOpt()
+    d, g = random_genome(rng, n_hits=200, weak=True)
+    d2, g2 = clone(d, g)
+    g.hits.set("pid_dom0", g.hits.pid_dom.copy())
+    g2.hits.set("pid_dom0", g2.hits.pid_dom.copy())
+    n_seg = d.n_gene
+    # canonical cs order first (as after read_postpass), then TWO physical
+    # round trips: ties in (cid, key) make the first trip land in a new
+    # order state; the cycle stabilizes on the second (as in the real
+    # round loop), after which the view (and walk-pack) engage
+    for gg in (g, g2):
+        hit_sort(gg, by_cm=False)
+        for _ in range(2):
+            hit_sort(gg, by_cm=True)
+            hit_sort(gg, by_cm=False)
+    for rnd in range(6):
+        g2s = np.arange(n_seg, dtype=np.int32)
+        if rnd >= 2:   # delete some segments, as the pruning rounds do
+            dead = rng.integers(0, n_seg, 3)
+            keep = np.ones(n_seg, bool)
+            keep[dead] = False
+            # remap like gen_g2s: surviving genes -> new dense ids
+            g2s = np.full(n_seg, -1, np.int32)
+            g2s[keep] = np.arange(int(keep.sum()), dtype=np.int32)
+            # hits pointing at dead segments must be filtered first
+            gid = np.asarray(d.prot_gid, np.int32)[g.hits.pid]
+            hitdead = ~keep[gid]
+            g.hits.flt[hitdead] = 1
+            g2.hits.flt[hitdead] = 1
+        view = cm_cycle_view(g)
+        assert view is not None
+        warm = sweep_native.round_genome(
+            opt, d, g, g2s, False, n_seg, view, True)
+        # cold: fresh clone each round -> no caches can serve
+        d3, g3 = clone(d2, g2)
+        g3.hits.flt[:] = g.hits.flt
+        g3.hits.weak_br[:] = g.hits.weak_br
+        # carry the warm genome's STALE sweep outputs: hit 0 and filtered
+        # hits keep their old shadow/dominator values (reference quirk,
+        # overlap.c:101-178), so the cold run must start from these
+        g3.hits.shadow[:] = g.hits.shadow
+        g3.hits.pid_dom[:] = g.hits.pid_dom
+        g3.hits.score_dom[:] = g.hits.score_dom
+        hit_sort(g3, by_cm=False)
+        for _ in range(2):
+            hit_sort(g3, by_cm=True)
+            hit_sort(g3, by_cm=False)
+        view3 = cm_cycle_view(g3)
+        cold = sweep_native.round_genome(
+            opt, d3, g3, g2s, False, n_seg, view3, True)
+        for a, b, name in zip(warm, cold,
+                              ("x", "n", "dist", "s1", "s2", "seg_cnt")):
+            np.testing.assert_array_equal(a, b, err_msg="round %d %s"
+                                          % (rnd, name))
+        np.testing.assert_array_equal(g.hits.shadow, g3.hits.shadow,
+                                      err_msg="round %d shadow" % rnd)
+        # monotone evolution: set a few more flt, raise a few weak ranks
+        newflt = rng.integers(0, len(g.hits), 4)
+        g.hits.flt[newflt] = 1
+        g2.hits.flt[newflt] = 1
+        wi = rng.integers(0, len(g.hits), 4)
+        g.hits.weak_br[wi] = np.maximum(g.hits.weak_br[wi], rng.integers(1, 3))
+        g2.hits.weak_br[wi] = g.hits.weak_br[wi]
