@@ -27,6 +27,11 @@ while :; do
             PYTHONPATH="$REPO:$PYTHONPATH" timeout 7200 \
                 python3 "$REPO/scripts/tpu_utilization.py" small \
                 >> "$LOG" 2>&1 && say "utilization OK" || say "utilization FAILED"
+            say "roundprof big (block attribution at the scale that matters)"
+            PANGENE_ROUNDPROF_OUT="$REPO/TPU_ROUNDPROF_big.json" \
+                PYTHONPATH="$REPO:$PYTHONPATH" timeout 10800 \
+                python3 "$REPO/scripts/tpu_roundprof.py" big \
+                >> "$LOG" 2>&1 && say "roundprof big OK" || say "roundprof big FAILED"
             say "compile split (fresh compile, last)"
             PYTHONPATH="$REPO:$PYTHONPATH" timeout 7200 \
                 python3 "$REPO/scripts/compile_split.py" small \

@@ -70,7 +70,8 @@ def main():
     # reference-exact — recomputing unchanged rounds is the r3 behavior);
     # the block disables run on top of no-skip so every round pays the
     # block and the delta attributes per-block cost.
-    path = os.path.join(ROOT, "TPU_ROUNDPROF.json")
+    path = os.environ.get("PANGENE_ROUNDPROF_OUT",
+                          os.path.join(ROOT, "TPU_ROUNDPROF.json"))
     for name, dis in (("baseline", ""), ("no_skip", "conv"),
                       ("noskip_no_branch", "conv,branch"),
                       ("noskip_no_occ", "conv,occ"),
