@@ -25,6 +25,13 @@ Bit-exactness:
     round; once that round trip is a cycle (ops/sort.py), the cs order is
     a fixed point and the cm order is a fixed gather view — both verified
     on host before entry (fallback to the host rounds otherwise).
+  * Kept-row compaction: only flt==0 rows are uploaded (phase 1 filters
+    ~half the hits, and flt is monotone — the reference skips flt rows on
+    both sides of every evaluation), shrinking every [G, H] plane, the
+    sweep band and the merge keys ~2x. Dropped rows keep their entry
+    flt/shadow/weak_br/pid_dom on the host (the stale-flag quirks); the
+    reference's "hit 0 is never evaluated" rule rides the ev1 plane
+    (original-index >= 1) instead of the compacted row index.
   * Segment deletion keeps ORIGINAL seg ids behind an alive-mask; the
     reference's hard-compaction (graph.c:219-235) is order-preserving, so
     arc keys group and sort identically; ids are compacted once on the
@@ -65,7 +72,11 @@ KSENT = jnp.int64((1 << 62))             # merge-sort key for invalid rows
 PACK_I32 = ("cid", "rank", "gid", "dom_gid", "score_ori", "score_dom",
             "cds_len", "n_exon", "off_exon", "pid", "pid_dom", "ordcm")
 PACK_C = ("cs", "ce", "cm")      # int32 or int64 (coord32)
-PACK_U8 = ("flt", "shadow", "weak_br", "valid", "rev")
+# ev1: original hit index >= 1 — the reference's "hit 0 is never the
+# evaluated side of a shadow pair" rule (overlap.c:101 loop from i=1) must
+# survive kept-row compaction, where the first KEPT row may not be the
+# genome's original row 0
+PACK_U8 = ("flt", "shadow", "weak_br", "valid", "rev", "ev1")
 
 
 class Cfg(NamedTuple):
@@ -622,7 +633,7 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                     flt != 0, weak.astype(jnp.int32), cols["pscore"],
                     geo_planes)
                 nonflt = flt == 0
-                evaluated = nonflt & (iotaH[None, :] >= 1) & cols["valid"]
+                evaluated = nonflt & (cols["ev1"] != 0) & cols["valid"]
                 shadow_n = jnp.where(evaluated, marks,
                                      (shadow != 0) | marks).astype(jnp.uint8)
                 otherc = jnp.clip(b_other, 0, H - 1)
@@ -738,16 +749,37 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     GB = max((Gp - 1).bit_length(), 1)
     if 2 * B + GB > 62:
         return _fallback("2B+GB=%d > 62 (S=%d, Gp=%d)" % (2 * B + GB, S, Gp))
-    H = max(((max((g.n_hit for g in d.genomes), default=1) + 511) // 512)
-            * 512, 512)
-    E = dev.next_pow2(max((len(g.exon_os) for g in d.genomes), default=1))
-    K = dev.next_pow2(max((int(g.hits.n_exon.max(initial=1))
-                           for g in d.genomes), default=1), lo=2)
-    W = 1
+    # Kept-row compaction: phase 1 typically filters ~half the hits, and
+    # flt is monotone — an entry-filtered hit never participates in any
+    # round block (the reference skips flt rows on BOTH sides of every
+    # sweep/walk/rep evaluation: overlap.c:101-156, graph.c:87-177,
+    # branch.c:6-29). Packing only flt==0 rows shrinks every [G, H] plane,
+    # the sweep band, the exon planes and the per-round merge keys ~2x at
+    # bench scales. Dropped rows keep their entry flt/shadow/weak_br/
+    # pid_dom on the host — exactly the stale-flag quirks — and are merged
+    # back untouched after the pull.
+    kept_idx = []
+    ex_tot = []
     for g in d.genomes:
-        if g.n_hit:
-            W = max(W, dev.band_width(g.hits.cid, np.asarray(g.hits.cs),
-                                      np.asarray(g.hits.ce)))
+        h = g.hits
+        n = g.n_hit
+        kk = (np.flatnonzero(np.asarray(h.flt)[:n] == 0) if n
+              else np.zeros(0, np.int64))
+        kept_idx.append(kk)
+        ex_tot.append(int(np.asarray(h.n_exon)[kk].sum()) if len(kk) else 0)
+    H = max(((max((len(k) for k in kept_idx), default=1) + 511) // 512)
+            * 512, 512)
+    E = dev.next_pow2(max(max(ex_tot, default=1), 1))
+    K = dev.next_pow2(
+        max((int(np.asarray(g.hits.n_exon)[k].max(initial=1))
+             for g, k in zip(d.genomes, kept_idx) if len(k)), default=1),
+        lo=2)
+    W = 1
+    for g, k in zip(d.genomes, kept_idx):
+        if len(k):
+            W = max(W, dev.band_width(np.asarray(g.hits.cid)[k],
+                                      np.asarray(g.hits.cs)[k],
+                                      np.asarray(g.hits.ce)[k]))
     W = min(dev.next_pow2(W, lo=2), H)
     # 25% headroom over the phase-1 arc count, bucketed to 4096 for
     # compile-cache reuse; overflow falls back to the host rounds.
@@ -773,12 +805,12 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     from ..ops.device_engine import hash_u32_np
     from ..ops.overlap import cds_len_all
     cmax = 0
-    for g in d.genomes:
-        if g.n_hit:
+    for g, kk in zip(d.genomes, kept_idx):
+        if len(kk):
             h = g.hits
-            cmax = max(cmax, int(np.asarray(h.ce).max(initial=0)),
-                       int(np.asarray(h.cm).max(initial=0)),
-                       int(np.asarray(h.cs).max(initial=0)))
+            cmax = max(cmax, int(np.asarray(h.ce)[kk].max(initial=0)),
+                       int(np.asarray(h.cm)[kk].max(initial=0)),
+                       int(np.asarray(h.cs)[kk].max(initial=0)))
     coord32 = cmax < 2**31
     cdt = np.int32 if coord32 else np.int64
     I32 = {n: i for i, n in enumerate(PACK_I32)}
@@ -796,40 +828,68 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     blk_ex = np.zeros((2, Gp, E), np.int32)
     prot_gid = np.asarray(d.prot_gid, np.int32)
     pref = np.asarray(d.gene_preferred, np.uint8)
+    # stale-quirk constant: the reference's per-round n_prop counts ALL
+    # hits with weak_br != 0; entry-filtered rows are not uploaded, so
+    # their (constant) contribution is added back to the pulled logs
+    n_prop_stale = 0
     for j, g in enumerate(d.genomes):
         h = g.hits
         n = g.n_hit
-        if n == 0:
+        kk = kept_idx[j]
+        nk = len(kk)
+        if n:
+            n_prop_stale += int(((np.asarray(h.flt)[:n] != 0)
+                                 & (np.asarray(h.weak_br)[:n] != 0)).sum())
+        if nk == 0:
             continue
-        gid = prot_gid[h.pid]
-        blk_i32[I32["cid"], j, :n] = h.cid
-        blk_i32[I32["rank"], j, :n] = h.rank
-        blk_i32[I32["gid"], j, :n] = gid
-        blk_i32[I32["dom_gid"], j, :n] = np.where(
-            h.pid_dom0 >= 0, prot_gid[np.clip(h.pid_dom0, 0, None)], -1)
-        blk_i32[I32["score_ori"], j, :n] = h.score_ori
-        blk_i32[I32["score_dom"], j, :n] = h.score_dom
-        blk_i32[I32["cds_len"], j, :n] = cds_len_all(g)
-        blk_i32[I32["n_exon"], j, :n] = h.n_exon
-        blk_i32[I32["off_exon"], j, :n] = h.off_exon
-        blk_i32[I32["pid"], j, :n] = h.pid
-        blk_i32[I32["pid_dom"], j, :n] = h.pid_dom
-        blk_i32[I32["ordcm"], j, :n] = views[j]
-        blk_c[0, j, :n] = h.cs
-        blk_c[1, j, :n] = h.ce
-        blk_c[2, j, :n] = h.cm
-        blk_ps[0, j, :n] = (
-            (h.score_adj.astype(np.int64).astype(np.uint64) << np.uint64(33))
+        tk = lambda a: np.asarray(a)[kk]
+        pid_k = tk(h.pid)
+        gid = prot_gid[pid_k]
+        pid_dom0_k = tk(h.pid_dom0)
+        blk_i32[I32["cid"], j, :nk] = tk(h.cid)
+        blk_i32[I32["rank"], j, :nk] = tk(h.rank)
+        blk_i32[I32["gid"], j, :nk] = gid
+        blk_i32[I32["dom_gid"], j, :nk] = np.where(
+            pid_dom0_k >= 0, prot_gid[np.clip(pid_dom0_k, 0, None)], -1)
+        blk_i32[I32["score_ori"], j, :nk] = tk(h.score_ori)
+        blk_i32[I32["score_dom"], j, :nk] = tk(h.score_dom)
+        blk_i32[I32["cds_len"], j, :nk] = np.asarray(cds_len_all(g))[kk]
+        blk_i32[I32["pid"], j, :nk] = pid_k
+        blk_i32[I32["pid_dom"], j, :nk] = tk(h.pid_dom)
+        # cm-order view of the kept subset: relative order is preserved
+        # under subsetting, so filtering + renumbering the full stable
+        # perm IS the stable perm of the subset
+        vk = views[j]
+        keptmask = np.zeros(n, bool)
+        keptmask[kk] = True
+        renum = np.cumsum(keptmask) - 1
+        blk_i32[I32["ordcm"], j, :nk] = renum[vk[keptmask[vk]]]
+        blk_c[0, j, :nk] = tk(h.cs)
+        blk_c[1, j, :nk] = tk(h.ce)
+        blk_c[2, j, :nk] = tk(h.cm)
+        blk_ps[0, j, :nk] = (
+            (tk(h.score_adj).astype(np.int64).astype(np.uint64)
+             << np.uint64(33))
             | (pref[gid].astype(np.uint64) << np.uint64(32))
-            | hash_u32_np(h.pid).astype(np.uint64))
-        blk_u8[U8["flt"], j, :n] = h.flt
-        blk_u8[U8["shadow"], j, :n] = h.shadow
-        blk_u8[U8["weak_br"], j, :n] = h.weak_br
-        blk_u8[U8["valid"], j, :n] = 1
-        blk_u8[U8["rev"], j, :n] = h.rev
-        ne = len(g.exon_os)
-        blk_ex[0, j, :ne] = g.exon_os
-        blk_ex[1, j, :ne] = g.exon_oe
+            | hash_u32_np(pid_k).astype(np.uint64))
+        # flt is 0 for every kept row by construction (plane stays zero)
+        blk_u8[U8["shadow"], j, :nk] = tk(h.shadow)
+        blk_u8[U8["weak_br"], j, :nk] = tk(h.weak_br)
+        blk_u8[U8["valid"], j, :nk] = 1
+        blk_u8[U8["rev"], j, :nk] = tk(h.rev)
+        blk_u8[U8["ev1"], j, :nk] = kk >= 1
+        # exon ranges of kept hits, compacted with rewritten offsets
+        cnt = tk(h.n_exon)
+        off = tk(h.off_exon).astype(np.int64)
+        new_off = np.zeros(nk, np.int64)
+        new_off[1:] = np.cumsum(cnt[:-1], dtype=np.int64)
+        tot = ex_tot[j]
+        pos = (np.arange(tot, dtype=np.int64)
+               - np.repeat(new_off, cnt) + np.repeat(off, cnt))
+        blk_i32[I32["n_exon"], j, :nk] = cnt
+        blk_i32[I32["off_exon"], j, :nk] = new_off.astype(np.int32)
+        blk_ex[0, j, :tot] = np.asarray(g.exon_os)[pos]
+        blk_ex[1, j, :tot] = np.asarray(g.exon_oe)[pos]
 
     # arc init from phase 1 (packed to B-bit vertices)
     a = q.arcs
@@ -943,6 +1003,8 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
         shape=dict(G=G, Gp=Gp, H=H, E=E, K=K, W=W, S=S, A=A, D=D, R=R,
                    n_devices=nd),
         coord32=coord32,
+        kept_frac=round(sum(len(k) for k in kept_idx)
+                        / max(1, sum(g.n_hit for g in d.genomes)), 3),
         upload_bytes=int(sum(b.nbytes for b in (blk_i32, blk_c, blk_ps,
                                                 blk_u8, blk_ex))),
         pack_s=round(t_up0 - t_pack0, 3),
@@ -959,16 +1021,26 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
                 "window); falling back to host rounds")
         return False
 
+    logs = np.array(logs)
+    logs[:, 2] += n_prop_stale
     _emit_round_logs(q, logs, dmask, ddeg, dloci, dtot, R)
 
-    # apply hit state
+    # apply hit state: scatter pulled values to the kept rows; dropped
+    # (entry-filtered) rows keep their entry values — the stale shadow /
+    # pid_dom quirks, identical to what the host rounds leave behind
     for j, g in enumerate(d.genomes):
         h = g.hits
-        n = g.n_hit
-        h.set("flt", flt[j, :n].astype(np.uint8))
-        h.set("weak_br", weak[j, :n].astype(np.uint8))
-        h.set("shadow", shadow[j, :n].astype(np.uint8))
-        h.set("pid_dom", pid_dom[j, :n].astype(np.int32))
+        kk = kept_idx[j]
+        nk = len(kk)
+        if nk == 0:
+            continue
+        for name, plane, dt in (("flt", flt, np.uint8),
+                                ("weak_br", weak, np.uint8),
+                                ("shadow", shadow, np.uint8),
+                                ("pid_dom", pid_dom, np.int32)):
+            base = np.asarray(getattr(h, name)).astype(dt, copy=True)
+            base[kk] = plane[j, :nk].astype(dt)
+            h.set(name, base)
     # segment compaction (the reference hard-deleted each round; ids are
     # order-preserving so one final compaction is identical)
     keep = alive.astype(bool)
