@@ -131,3 +131,29 @@ def test_devloop_capacity_fallback(corpus, monkeypatch):
     want = run(corpus, "host")
     monkeypatch.setenv("PANGENE_DEVLOOP_MAX_A", "64")
     assert run(corpus, "sharded") == want
+
+
+def test_devloop_hit0_filtered_at_entry(corpus, monkeypatch):
+    """Kept-row compaction's ev1 quirk: when a genome's ORIGINAL hit 0
+    (first in cs order) is filtered in phase 1, the first row of the
+    compacted plane is some later hit, which the reference DOES evaluate
+    in the shadow sweep (overlap.c:101 loops from i=1 over the full
+    array). This test pins the precondition — the fixture corpus really
+    contains such a genome — so the byte-identity matrix above keeps
+    covering the ev1 path if the corpus is ever regenerated."""
+    import numpy as np
+    from pangene_tpu.parallel import device_loop
+
+    seen = {}
+    orig = device_loop.graph_gen_device
+
+    def spy(opt, q):
+        seen["first_flt"] = [
+            int(np.asarray(g.hits.flt)[0]) if g.n_hit else 0
+            for g in q.d.genomes]
+        return orig(opt, q)
+
+    monkeypatch.setattr(device_loop, "graph_gen_device", spy)
+    assert run(corpus, "sharded") == run(corpus, "host")
+    assert any(f > 0 for f in seen["first_flt"]), \
+        "fixture no longer exercises the ev1 (hit-0 filtered) path"
