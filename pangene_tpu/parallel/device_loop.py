@@ -429,7 +429,9 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 pa = r_pres[:, tgt_gid]           # [Gl, A], a-side hoisted
                 ca = r_cid[:, tgt_gid]
                 ma = r_cm[:, tgt_gid]
-                ra = r_rank[:, tgt_gid].astype(I64)
+                # kept-ranks fit int32 (< H); local_count is host-clamped
+                # to INT32_MAX, exact because every rank gap fits too
+                ra = r_rank[:, tgt_gid]
                 is_max = branching & (arc_s1 == mx)
                 # Per-trip KERNEL LAUNCH overhead dominated the loop
                 # (measured ~4 ms/trip regardless of roll vs slice), so
@@ -944,6 +946,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     ld = int(opt.local_dist)
     if coord32:
         ld = min(ld, 2**31 - 1)
+    lc = min(int(opt.local_count), 2**31 - 1)
     JB = max((Gp * 2 * H - 1).bit_length(), 1)
     if 2 * B + GB + JB > 62 or _os.environ.get("PANGENE_DEVLOOP_NO_JB"):
         JB = 0          # lean merge falls back to co-sorted payloads
@@ -958,7 +961,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
               branch_diff_dist=float(opt.branch_diff_dist),
               branch_diff_cut=float(opt.branch_diff_cut),
               local_dist=ld,
-              local_count=int(opt.local_count))
+              local_count=lc)
 
     from .mesh import pull_global, put_sharded
     t_up0 = time.monotonic()
