@@ -35,7 +35,13 @@ def main() -> int:
     scale = sys.argv[1] if len(sys.argv) > 1 else "small"
     n_genome, n_gene, seed = SCALES[scale]
 
-    # a fresh compile must not be served from the persistent cache
+    # a fresh compile must not be served from the persistent cache.
+    # ops/device.py RE-ENABLES the cache at import (inside pipeline), so
+    # disabling the jax config here is not enough — point the package's
+    # cache dir at a throwaway so the measured wall is a true compile
+    # even right after the gate populated the real cache for this shape.
+    import tempfile as _tf
+    os.environ["PANGENE_TPU_CACHE"] = _tf.mkdtemp(prefix="pg_nocache_")
     os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
     import jax
     jax.config.update("jax_compilation_cache_dir", None)

@@ -89,11 +89,19 @@ def main() -> int:
     ev = tr["traceEvents"]
     # device pids: process_name metadata containing "TPU"/"device"
     dev_pids = set()
+    host_pids = set()
     for e in ev:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             nm = e.get("args", {}).get("name", "")
             if "TPU" in nm or "Device" in nm or "device" in nm:
                 dev_pids.add(e["pid"])
+            if "host" in nm.lower():
+                host_pids.add(e["pid"])
+    if not dev_pids:
+        # fallback for unexpected plugin naming: any non-host pid that
+        # carries complete events is a device lane
+        dev_pids = {e["pid"] for e in ev
+                    if e.get("ph") == "X"} - host_pids
     # busy time: union-free sum of complete events on device pids
     # (per-line events on one TPU core don't overlap in practice; take the
     # per-pid max of summed durations to avoid double counting streams)
