@@ -453,6 +453,30 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
     lib = _get_lib()
     h = gen.hits
     n = len(h)
+    # Prebuilt-argument fast path: every pointer in the 40-arg call is
+    # stable within a (physical version, view) epoch — the column
+    # addresses key on _ver (set()/permute() bump it), the hot/geo/wpack
+    # buffers key on the same, and the scratch buffers are per-genome.
+    # Only run_shadow and the g2s address change call-to-call, so the
+    # whole ctypes argument vector is cached as prebuilt c_* instances
+    # and two .value patches replace ~100us of per-call branching and
+    # argument conversion (523 calls per small bench run).
+    ver = getattr(h, "_ver", 0)
+    fast = getattr(gen, "_rg_fast", None)
+    if fast is not None and fast[0] == (
+            ver, id(view), n_seg, use_ori, bool(opt.check_strand),
+            float(opt.min_ov_ratio)):
+        _, args, rs_c, g2s_c, hold, outs = fast
+        g2sc = g2s if (g2s.dtype == np.int32 and g2s.flags.c_contiguous) \
+            else _c(g2s, np.int32)
+        hold["g2s"] = g2sc            # keep alive for the C call
+        g2s_c.value = g2sc.ctypes.data
+        rs_c.value = 1 if run_shadow else 0
+        outs[5][:n_seg] = 0
+        m = int(lib.pg_round_genome(*args))
+        assert m >= 0, "kept hit maps to deleted segment"
+        return (outs[0][:m], outs[1][:m], outs[2][:m], outs[3][:m],
+                outs[4][:m], outs[5][:n_seg])
     pga, gpa = _global_addrs(d)
     cap = max(2 * (n - 1), 1) if n > 1 else 1
     buf = getattr(gen, "_round_buf", None)
@@ -555,6 +579,50 @@ def round_genome(opt: PgOpt, d: DataSet, gen: Genome, g2s: np.ndarray,
         geo_off_ptr, geo_bytes_ptr, geo_cap, geo_state_ptr,
         wpack_ptr, wpack_valid, wscratch_ptr))
     assert m >= 0, "kept hit maps to deleted segment"
+    if run_shadow and view is not None and hot_ptr is not None \
+            and wpack_ptr is not None:
+        # this call just (re)built every cache for the epoch: hot packed,
+        # wpack built (the walk always runs), geo recording owned by C —
+        # so the prebuilt vector carries the valid flags as 1
+        import ctypes as ct
+        vptr = lambda a: ct.c_void_p(a)
+        rs_c = ct.c_int32(1)
+        g2s_c = vptr(g2sc.ctypes.data)
+        args = (
+            ct.c_int64(n),
+            vptr(ad["pid"]), vptr(ad["rank"]),
+            vptr(ad["score_adj"]), vptr(ad["score_ori"]),
+            vptr(ad["n_exon"]), vptr(ad["off_exon"]),
+            vptr(ad["cid"]),
+            vptr(ad["rev"]), vptr(ad["flt"]),
+            vptr(ad["weak_br"]),
+            vptr(ad["cs"]), vptr(ad["ce"]),
+            vptr(eos), vptr(eoe),
+            vptr(pga), vptr(gpa),
+            ct.c_int32(1 if opt.check_strand else 0),
+            ct.c_double(float(opt.min_ov_ratio)),
+            vptr(ad["shadow"]),
+            vptr(ad["pid_dom"]), vptr(ad["score_dom"]),
+            rs_c,
+            vptr(vp),
+            vptr(ad["cm"]),
+            vptr(ad["pid_dom0"]),
+            g2s_c,
+            ct.c_int32(1 if use_ori else 0), ct.c_int32(n_seg),
+            vptr(buf_addr[5]),
+            vptr(buf_addr[0]), vptr(buf_addr[1]),
+            vptr(buf_addr[2]),
+            vptr(buf_addr[3]), vptr(buf_addr[4]),
+            vptr(hot_ptr), ct.c_int32(1),
+            vptr(geo_off_ptr), vptr(geo_bytes_ptr),
+            ct.c_int64(geo_cap), vptr(geo_state_ptr),
+            vptr(wpack_ptr), ct.c_int32(1), vptr(wscratch_ptr))
+        gen._rg_fast = (
+            (ver, id(view), n_seg, use_ori, bool(opt.check_strand),
+             float(opt.min_ov_ratio)),
+            args, rs_c, g2s_c,
+            {"g2s": g2sc, "view": view},
+            (out_x, out_n, out_dist, out_s1, out_s2, seg_cnt))
     return (out_x[:m], out_n[:m], out_dist[:m], out_s1[:m], out_s2[:m],
             seg_cnt[:n_seg])
 
