@@ -637,6 +637,16 @@ def rep_pos_rows(d: DataSet, gen: Genome):
     lib = _get_lib()
     h = gen.hits
     n = len(h)
+    # prebuilt-argument fast path (see round_genome): every argument is
+    # stable within a physical-version epoch
+    ver = getattr(h, "_ver", 0)
+    fast = getattr(gen, "_rp_fast", None)
+    if fast is not None and fast[0] == ver:
+        args, (og, oc, orr, om) = fast[1], fast[2]
+        m = int(lib.pg_rep_pos(*args))
+        if m == 0:
+            return None
+        return og[:m], oc[:m], orr[:m], om[:m]
     pg, _ = _globals(d)
     cap = max(min(n, d.n_gene), 1)
     buf = getattr(gen, "_rep_buf", None)
@@ -649,13 +659,15 @@ def rep_pos_rows(d: DataSet, gen: Genome):
     if n == 0:
         return None
     ad = _hit_addrs(h)
-    m = int(lib.pg_rep_pos(
-        n, ad["flt"], ad["shadow"],
-        ad["pid"], ad["cid"],
-        ad["cm"],
-        _addr_of(d, "_pg_addr", pg), d.n_gene,
-        ba[0], ba[1],
-        ba[2], ba[3]))
+    import ctypes as ct
+    args = (ct.c_int64(n), ct.c_void_p(ad["flt"]), ct.c_void_p(ad["shadow"]),
+            ct.c_void_p(ad["pid"]), ct.c_void_p(ad["cid"]),
+            ct.c_void_p(ad["cm"]),
+            ct.c_void_p(_addr_of(d, "_pg_addr", pg)), ct.c_int32(d.n_gene),
+            ct.c_void_p(ba[0]), ct.c_void_p(ba[1]),
+            ct.c_void_p(ba[2]), ct.c_void_p(ba[3]))
+    gen._rp_fast = (ver, args, (og, oc, orr, om))
+    m = int(lib.pg_rep_pos(*args))
     if m == 0:
         return None
     return og[:m], oc[:m], orr[:m], om[:m]
@@ -793,19 +805,41 @@ def propagate_weak_hash(d: DataSet, gen: Genome, g2s: np.ndarray,
     keys, vals = tab
     if n == 0:
         return
-    pg, _ = _globals(d)
+    # prebuilt-argument fast path (see round_genome): only g2s and the
+    # round's hash table vary call-to-call within a (version, view) epoch
+    ver = getattr(h, "_ver", 0)
+    fast = getattr(gen, "_pw_fast", None)
     g2sc = g2s if (g2s.dtype == np.int32 and g2s.flags.c_contiguous) \
         else _c(g2s, np.int32)
+    if fast is not None and fast[0] == (ver, id(view)):
+        _, args, hold, g2s_c, nk_c, k_c, v_c = fast
+        hold["g2s"], hold["tab"] = g2sc, tab
+        g2s_c.value = g2sc.ctypes.data
+        nk_c.value = len(keys)
+        k_c.value = keys.ctypes.data
+        v_c.value = vals.ctypes.data
+        lib.pg_propagate_weak_hash(*args)
+        return
+    pg, _ = _globals(d)
     vp = _addr_of(gen, "_view_addr", view) if view is not None else None
     ad = _hit_addrs(h)
-    lib.pg_propagate_weak_hash(
-        n, vp,
-        ad["flt"], ad["shadow"],
-        ad["pid"], ad["rev"],
-        ad["cid"],
-        _addr_of(d, "_pg_addr", pg), _p(g2sc, np.int32, _i32p),
-        len(keys), _p(keys, np.uint64, _u64p), _p(vals, np.uint8, _u8p),
-        ad["weak_br"])
+    import ctypes as ct
+    g2s_c = ct.c_void_p(_p(g2sc, np.int32, _i32p))
+    nk_c = ct.c_int64(len(keys))
+    k_c = ct.c_void_p(_p(keys, np.uint64, _u64p))
+    v_c = ct.c_void_p(_p(vals, np.uint8, _u8p))
+    args = (ct.c_int64(n), ct.c_void_p(vp),
+            ct.c_void_p(ad["flt"]), ct.c_void_p(ad["shadow"]),
+            ct.c_void_p(ad["pid"]), ct.c_void_p(ad["rev"]),
+            ct.c_void_p(ad["cid"]),
+            ct.c_void_p(_addr_of(d, "_pg_addr", pg)), g2s_c,
+            nk_c, k_c, v_c,
+            ct.c_void_p(ad["weak_br"]))
+    if view is not None:
+        gen._pw_fast = ((ver, id(view)), args,
+                        {"g2s": g2sc, "tab": tab, "view": view},
+                        g2s_c, nk_c, k_c, v_c)
+    lib.pg_propagate_weak_hash(*args)
 
 
 def format_arcs(d: DataSet, seg_gid: np.ndarray, arcs) -> str:
