@@ -77,11 +77,14 @@ def flt_high_occ(q: Graph, max_avg_occ: int, max_degree: int,
     if q.n_arc:
         src = (q.arcs.x >> np.uint64(32)).astype(np.int64)
         uniq, cnt = np.unique(src, return_counts=True)
-        for v, c in zip(uniq, cnt):
-            sid = int(v) >> 1
-            if c > max_degree and not q.seg_del[sid]:
-                q.seg_del[sid] = 1
-                n_high_deg += 1
+        # a segment is high-degree when EITHER orientation's out-degree
+        # exceeds the cap; np.unique dedupes the orientation pair, and
+        # only segments not already occ-deleted count (graph.c:249-255
+        # counts each segment once, shielded by the earlier marks)
+        sids = np.unique(uniq[cnt > max_degree] >> 1)
+        newly = sids[q.seg_del[sids] == 0]
+        n_high_deg = len(newly)
+        q.seg_del[newly] = 1
     m = q.seg_n_dist_loci.max(axis=1)
     loci_del = (m > max_dist_loci) & (q.seg_del == 0)
     # note: occ/deg deletions above shield segs from the loci counter
