@@ -305,3 +305,11 @@ def test_round_caches_across_monotone_rounds(seed):
         wi = rng.integers(0, len(g.hits), 4)
         g.hits.weak_br[wi] = np.maximum(g.hits.weak_br[wi], rng.integers(1, 3))
         g2.hits.weak_br[wi] = g.hits.weak_br[wi]
+        if rnd == 3:
+            # pure address churn: replace a column OBJECT with identical
+            # values via set() — _ver bumps, every identity/version-keyed
+            # cache (addresses, hot/geo/walk-pack, the prebuilt ctypes
+            # argument vectors) must rebuild, and a stale cached address
+            # would read a freed buffer
+            g.hits.set("flt", np.asarray(g.hits.flt).copy())
+            g.hits.set("weak_br", np.asarray(g.hits.weak_br).copy())
