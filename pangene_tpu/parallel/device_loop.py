@@ -59,8 +59,10 @@ from ..util import log_msg
 from .mesh import make_mesh
 
 I64 = jnp.int64
-SENT = jnp.int64((1 << 62) - 1)          # empty arc-table slot
-KSENT = jnp.int64((1 << 62))             # merge-sort key for invalid rows
+SENT_I = (1 << 62) - 1                   # host-side value (no device pull)
+KSENT_I = (1 << 62)
+SENT = jnp.int64(SENT_I)                 # empty arc-table slot
+KSENT = jnp.int64(KSENT_I)               # merge-sort key for invalid rows
 
 
 # packed upload layout: the tunnel charges ~170ms latency per transfer, so
@@ -897,7 +899,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     a = q.arcs
     v0 = (a.x >> np.uint64(32)).astype(np.int64)
     w0 = (a.x & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    arc0_vw = np.full(A, int(SENT), np.int64)
+    arc0_vw = np.full(A, SENT_I, np.int64)
     arc0_vw[:len(a)] = (v0 << B) | w0
     arc0_s1 = np.zeros(A, np.int32)
     arc0_s1[:len(a)] = a.s1
@@ -1057,7 +1059,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     q.gen_g2s()
     q.flag_vtx()
     # rebuild the arc table with original->compacted id remap
-    na = int((arc_vw != int(SENT)).sum())
+    na = int((arc_vw != SENT_I).sum())
     vw = arc_vw[:na]
     remap = np.cumsum(keep) - 1
     v = vw >> B

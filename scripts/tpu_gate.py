@@ -85,7 +85,10 @@ def main() -> int:
         n_big = sum(sum(1 for _ in gzip.open(f)) for f in bfiles)
         util.verbose = 3   # stderr progress — locates any plugin crash
         best = None
-        for rep in range(int(os.environ.get("PANGENE_TPU_BIG_REPS", "2"))):
+        rep_walls = []     # ALL rep walls: median is the robust claim
+        rep_stages = []    # per-rep host+device stage walls (VERDICT r4 #2)
+        for rep in range(int(os.environ.get("PANGENE_TPU_BIG_REPS", "3"))):
+            util.stage_stats.clear()
             t0 = time.monotonic()
             buf = io.StringIO()
             pipeline.run(PgOpt(engine="sharded"), bfiles, out=buf)
@@ -93,12 +96,23 @@ def main() -> int:
             assert device_loop.LAST.get("engaged"), device_loop.LAST
             md5_big = hashlib.md5(buf.getvalue().encode()).hexdigest()
             assert md5_big == "b988fc85e7633316be354ab315a0449c", md5_big
+            rep_walls.append(round(dt, 2))
+            L = device_loop.LAST
+            rep_stages.append({k: L[k] for k in (
+                "pack_s", "upload_s", "run_s", "pull_s") if k in L}
+                | {"host": dict(util.stage_stats)})
             if best is None or dt < best[0]:
                 best = (dt, dict(device_loop.LAST, host_stages=dict(
                     util.stage_stats)))
+            srt = sorted(rep_walls)
+            med = srt[len(srt) // 2] if len(srt) % 2 else \
+                round((srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2, 2)
             out["big_corpus_sharded"] = {
                 "n_records": n_big, "s": round(best[0], 2),
                 "end_to_end_best": round(best[0], 2),
+                "end_to_end_median": med,
+                "rep_walls_s": rep_walls,
+                "rep_stages": rep_stages,
                 "records_per_s": round(n_big / best[0], 1),
                 "md5": md5_big[:8],
                 "reps": rep + 1,

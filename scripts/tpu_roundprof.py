@@ -21,7 +21,10 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-SCALES = {"small": (32, 2000, 11), "big": (64, 10000, 7)}
+SCALES = {"small": (32, 2000, 11), "big": (64, 10000, 7),
+          "northstar": (100, 19000, 42)}
+# northstar variants are ~minutes each even warm: 1 rep, no best-of-2
+REPS = {"small": 2, "big": 2, "northstar": 1}
 
 
 def one_variant(scale, disable):
@@ -41,7 +44,7 @@ cache = os.path.join(tempfile.gettempdir(),
 files = sorted(os.path.join(cache, f) for f in os.listdir(cache)
                if f.endswith(".paf.gz"))
 best = None
-for _ in range(2):   # first rep pays trace + executable load
+for _ in range(%r):   # first rep pays trace + executable load
     t0 = time.monotonic()
     buf = io.StringIO()
     pipeline.run(PgOpt(engine="sharded"), files, out=buf)
@@ -50,13 +53,13 @@ for _ in range(2):   # first rep pays trace + executable load
         best = (w, dict(device_loop.LAST))
 assert best[1].get("engaged"), best[1]
 print("RESULT " + json.dumps({"wall": round(best[0], 2), "last": best[1]}))
-""" % (ROOT, SCALES[scale])
+""" % (ROOT, SCALES[scale], REPS[scale])
     env = dict(os.environ)
     if disable:
         env["PANGENE_DEVLOOP_DISABLE"] = disable
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                       timeout=3600)
+                       timeout=14400 if scale == "northstar" else 3600)
     for line in r.stdout.decode().splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
@@ -65,18 +68,32 @@ print("RESULT " + json.dumps({"wall": round(best[0], 2), "last": best[1]}))
 
 def main():
     scale = sys.argv[1] if len(sys.argv) > 1 else "small"
+    # corpus must exist before the measuring subprocesses run
+    import tempfile
+    n_genome, n_gene, seed = SCALES[scale]
+    cache = os.path.join(tempfile.gettempdir(),
+                         "pg_bench_%d_%d_%d" % (n_genome, n_gene, seed))
+    if not os.path.exists(os.path.join(cache, "done")):
+        from pangene_tpu.testing import synth_paf_files
+        synth_paf_files(cache, n_genome=n_genome, n_gene=n_gene, n_iso=3,
+                        seed=seed)
+        open(os.path.join(cache, "done"), "w").write("ok")
     out = {"scale": scale}
     # baseline has convergence skipping ACTIVE; "conv" defeats it (still
     # reference-exact — recomputing unchanged rounds is the r3 behavior);
     # the block disables run on top of no-skip so every round pays the
     # block and the delta attributes per-block cost.
-    path = os.environ.get("PANGENE_ROUNDPROF_OUT",
-                          os.path.join(ROOT, "TPU_ROUNDPROF.json"))
+    path = os.environ.get("PANGENE_ROUNDPROF_OUT", os.path.join(
+        ROOT, "TPU_ROUNDPROF.json" if scale == "small"
+        else "TPU_ROUNDPROF_%s.json" % scale))
+    # order is most-diagnostic-first (the artifact is dumped after every
+    # variant and a tunnel phase can end): walk/merge dominated the big-
+    # shape chip attribution (5.65 of 9.0 s), so it follows no_skip.
     for name, dis in (("baseline", ""), ("no_skip", "conv"),
+                      ("noskip_no_walk", "conv,walk"),
                       ("noskip_no_branch", "conv,branch"),
-                      ("noskip_no_occ", "conv,occ"),
                       ("noskip_no_sweep", "conv,sweep"),
-                      ("noskip_no_walk", "conv,walk")):
+                      ("noskip_no_occ", "conv,occ")):
         got = one_variant(scale, dis)
         out[name] = {"wall": got["wall"],
                      "run_s": got["last"].get("run_s"),

@@ -102,29 +102,54 @@ def main() -> int:
         # carries complete events is a device lane
         dev_pids = {e["pid"] for e in ev
                     if e.get("ph") == "X"} - host_pids
-    # busy time: union-free sum of complete events on device pids
-    # (per-line events on one TPU core don't overlap in practice; take the
-    # per-pid max of summed durations to avoid double counting streams)
+    # busy time: per-pid UNION of complete-event intervals (a device core's
+    # trace carries nested + parallel-lane spans; summing durations counted
+    # overlap multiple times and produced busy_frac 3.5 — VERDICT r4 #3).
+    # The union is a length of wall time in which >=1 device op ran, so
+    # busy_frac = union / span is a true fraction in (0, 1].
     per_pid = {}
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            per_pid[e["pid"]] = per_pid.get(e["pid"], 0.0) \
-                + float(e.get("dur", 0.0))
-    busy_us = max(per_pid.values()) if per_pid else 0.0
+            ts = float(e.get("ts", 0.0))
+            per_pid.setdefault(e["pid"], []).append(
+                (ts, ts + float(e.get("dur", 0.0))))
+
+    def union_len(iv):
+        iv.sort()
+        tot = 0.0
+        cur_s, cur_e = iv[0]
+        for s, e in iv[1:]:
+            if s > cur_e:
+                tot += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        return tot + (cur_e - cur_s)
+
+    busy_by_pid = {p: union_len(iv) for p, iv in per_pid.items()}
+    busy_us = max(busy_by_pid.values()) if busy_by_pid else 0.0
     busy_s = busy_us / 1e6
+    # span: first device-op start to last device-op end (the device-active
+    # window of the traced pipeline run; host-only head/tail excluded)
+    all_iv = [t for iv in per_pid.values() for t in iv]
+    span_s = (max(e for _, e in all_iv) - min(s for s, _ in all_iv)) / 1e6 \
+        if all_iv else 0.0
 
     run_s = last["run_s"]
     shape = last["shape"]
     rounds = last.get("rounds_sweep_run", shape["R"])
     bpr = analytic_bytes_per_round(shape, last.get("coord32", False))
     touched = bpr * max(rounds, 1)
-    busy_frac = busy_s / run_s if run_s else 0.0
+    busy_frac = min(busy_s / span_s, 1.0) if span_s else 0.0
     achieved = touched / busy_s / 1e9 if busy_s else 0.0
     out = {
         "scale": scale,
         "run_s": run_s,
+        "device_active_span_s": round(span_s, 3),
         "device_busy_s": round(busy_s, 3),
         "busy_frac": round(busy_frac, 3),
+        "busy_frac_def": "union of device-op intervals / device-active "
+                         "span (max across device pids)",
         "device_pids": sorted(dev_pids),
         "analytic_bytes_per_round": bpr,
         "rounds_executed": rounds,
@@ -142,7 +167,11 @@ def main() -> int:
         gate = json.load(open(gate_path))
     except Exception:
         gate = {}
-    gate["utilization"] = out
+    u = gate.get("utilization")
+    if not isinstance(u, dict) or "scale" in u:
+        u = {}   # drop the round-4 flat (and busy_frac>1) format
+    u[scale] = out
+    gate["utilization"] = u
     with open(gate_path, "w") as f:
         json.dump(gate, f, indent=1)
     return 0
