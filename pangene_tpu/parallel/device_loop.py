@@ -106,6 +106,12 @@ class Cfg(NamedTuple):
     branch_diff_cut: float
     local_dist: int
     local_count: int
+    # nd > 1 only: per-round merge runs as a bucket-exchange distributed
+    # sort (keys partitioned by out-vertex range) instead of the
+    # replicated all_gather + full sort; 0 disables (A/B knob). Value is
+    # the per-(src,dst) all_to_all chunk capacity (static); a dest count
+    # above it sets the overflow flag -> exact host fallback.
+    a2a_cap: int
 
 
 def _seg_reduce(op, vals, seg_id, n):
@@ -146,6 +152,7 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
               cfg: Cfg, mesh):
     gs = P("g")
     rep = P()
+    nd = mesh.devices.size
 
     def per_shard(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                   arc0_vw, arc0_s1, seg_tot0, seg_ng0, occ_cut, deg_cut,
@@ -281,6 +288,114 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
             NL = Gl * 2 * H
             JB = cfg.JB
             so = None
+            if (not full) and JB and nd > 1 and cfg.a2a_cap:
+                # ---- bucket-exchange distributed merge (nd > 1) ----
+                # The replicated form makes EVERY shard all_gather + sort
+                # all Gp*2H keys (54% replicated overhead at 8 shards,
+                # MESH_SCALING round 4). Keys are monotone in the out-
+                # vertex v (top bits), so partitioning the key space into
+                # nd contiguous v-ranges keeps every out-group (vw) and
+                # in-group (vw, g) whole, and
+                #   concat_t(sort(keys with dest t)) == sort(all keys)
+                # EXACTLY. Each shard lean-sorts its NL local keys, counts
+                # per-dest runs (contiguous, because dest is monotone in
+                # the sorted key), exchanges [nd, C] chunks via all_to_all
+                # (keys + s1 payload), sorts only its own range
+                # (~2N/nd instead of N), reduces groups locally, and
+                # rebuilds the replicated [A] arc planes by a windowed
+                # scatter at its global arc offset + psum. Pair-slot arc
+                # rows route back to their origin shard by a second
+                # all_to_all aligned with the send slots. A per-dest count
+                # above C folds into the existing n_out > A overflow ->
+                # byte-exact host fallback.
+                C = cfg.a2a_cap
+                base = lax.axis_index("g").astype(I64) * NL
+                jo_loc = (base + jnp.arange(NL, dtype=I64)) \
+                    .reshape(Gl, 2 * H)
+                kp = jnp.where(ok2, (keys << JB) | jo_loc, KSENT) \
+                    .reshape(-1)
+                s1f = s1_2.reshape(-1)
+                kps_l = lax.sort(kp)                   # local lean sort
+                validl = kps_l != KSENT
+                v_of = kps_l >> (JB + GB + B)
+                dest = jnp.clip((v_of * nd) // (2 * S), 0, nd - 1) \
+                    .astype(jnp.int32)
+                cnt = jnp.zeros(nd, jnp.int32).at[dest].add(
+                    validl.astype(jnp.int32), mode="drop")
+                start = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32),
+                     jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+                ovf_x = jnp.any(cnt > C)
+                cc = jnp.arange(C, dtype=jnp.int32)[None, :]
+                gidx = jnp.clip(start[:, None] + cc, 0, NL - 1)
+                smask = cc < cnt[:, None]
+                k_g = kps_l[gidx]
+                k_send = jnp.where(smask, k_g, KSENT)
+                orig_row = jnp.clip(
+                    (k_g & ((1 << JB) - 1)) - base, 0, NL - 1) \
+                    .astype(jnp.int32)
+                s1_send = jnp.where(smask, s1f[orig_row], 0)
+                a2a = lambda x: lax.all_to_all(
+                    x, "g", split_axis=0, concat_axis=0, tiled=True)
+                rk_f = a2a(k_send).reshape(-1)
+                rs1_f = a2a(s1_send).reshape(-1)
+                RL = rk_f.shape[0]
+                rpos0 = jnp.arange(RL, dtype=jnp.int32)
+                rk, rpos = lax.sort((rk_f, rpos0), num_keys=1)
+                rs1 = rs1_f[rpos]
+                keys_r = rk >> JB
+                va = keys_r != (KSENT >> JB)
+                pkr = jnp.concatenate([jnp.array([KSENT]), keys_r[:-1]])
+                in_new = va & (keys_r != pkr)
+                in_id = jnp.clip(jnp.cumsum(in_new.astype(jnp.int32)) - 1,
+                                 0, RL - 1)
+                s1_in = jax.ops.segment_max(jnp.where(va, rs1, 0), in_id,
+                                            num_segments=RL)
+                vw_row = keys_r >> GB
+                pvw = jnp.concatenate([jnp.array([KSENT]), vw_row[:-1]])
+                out_new = va & (vw_row != pvw)
+                out_id = jnp.clip(
+                    jnp.cumsum(out_new.astype(jnp.int32)) - 1, 0, RL - 1)
+                ng_f = jax.ops.segment_sum(in_new.astype(jnp.int32),
+                                           out_id, num_segments=RL)
+                s1s_f = jax.ops.segment_sum(
+                    jnp.where(in_new, s1_in[in_id].astype(I64), 0),
+                    out_id, num_segments=RL)
+                vw_f = jax.ops.segment_max(jnp.where(va, vw_row, 0),
+                                           out_id, num_segments=RL)
+                n_out_l = jnp.sum(out_new.astype(jnp.int64))
+                nouts = lax.all_gather(n_out_l, "g")           # [nd]
+                my = lax.axis_index("g")
+                off = jnp.sum(jnp.where(jnp.arange(nd) < my, nouts, 0))
+                n_out = jnp.sum(nouts)
+                # capacity overflow rides the existing n_out > A check
+                n_out = jnp.where(
+                    lax.psum(ovf_x.astype(jnp.int32), "g") > 0,
+                    jnp.int64(A + 1), n_out)
+                posr = jnp.arange(RL, dtype=jnp.int64)
+                lv = posr < n_out_l
+                put = lambda vals, dt: lax.dynamic_update_slice(
+                    jnp.zeros(A + RL, dt), jnp.where(lv, vals, 0).astype(dt),
+                    (off,))[:A]
+                live = iotaA < n_out
+                s1_loc = _plus499_i32(s1s_f, ng_f.astype(I64))
+                vw_gl, s1_gl = lax.psum(
+                    (put(vw_f, I64), put(s1_loc, jnp.int32)), "g")
+                arc_vw = jnp.where(live, vw_gl, SENT)
+                arc_s1 = jnp.where(live, s1_gl, 0)
+                lean = (arc_vw, arc_s1, n_out, seg_tot, seg_ng)
+                out_gl = (off + out_id.astype(jnp.int64)).astype(jnp.int32)
+                reply_f = jnp.zeros(RL, jnp.int32).at[rpos].set(
+                    jnp.where(va, out_gl, 0), mode="drop")
+                reply = a2a(reply_f.reshape(nd, C))
+                pair_loc = jnp.zeros(NL, jnp.int32).at[
+                    jnp.where(smask, orig_row, NL)].set(
+                    reply, mode="drop")
+                mine = pair_loc.reshape(Gl, 2 * H)
+                tgt_prev = jnp.take_along_axis(
+                    ordcm, jnp.clip(prev, 0, H - 1), axis=1)
+                pair_st = (mine[:, :H], mine[:, H:], tgt_prev, pair_ok)
+                return lean + (pair_st,)
             if full:
                 d2 = jnp.concatenate([dist, dist], axis=1)
                 s2_2 = jnp.concatenate([s2w, s1w], axis=1)
@@ -952,6 +1067,20 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     JB = max((Gp * 2 * H - 1).bit_length(), 1)
     if 2 * B + GB + JB > 62 or _os.environ.get("PANGENE_DEVLOOP_NO_JB"):
         JB = 0          # lean merge falls back to co-sorted payloads
+    # bucket-exchange merge capacity (nd > 1 only; 0 disables): per-
+    # (src,dst) all_to_all chunk holds up to slack * NL/nd keys, padded
+    # to the lane width. Worst case a shard sends ALL its keys to one
+    # dest; that sets the overflow flag -> exact host fallback.
+    # engaged at nd > 2: at nd == 2 the exchange sorts ~slack*N/2 received
+    # + N/2 local keys per shard vs the replicated form's N lean keys —
+    # measured net-negative on the CPU mesh (19.3 s vs 16.2 s); from 4
+    # shards on, per-shard sort work drops ~nd/(1+slack)x.
+    a2a_cap = 0
+    if nd > 2 and JB and _os.environ.get(
+            "PANGENE_DEVLOOP_SHARD_MERGE", "1") != "0":
+        NL = (Gp // nd) * 2 * H
+        slack = float(_os.environ.get("PANGENE_DEVLOOP_A2A_SLACK", "1.5"))
+        a2a_cap = min(((int(NL * slack) // nd + 127) // 128) * 128, NL)
     cfg = Cfg(H=H, K=K, W=W, S=S, A=A, D=D, B=B, GB=GB, JB=JB,
               n_gene=ngene, R=R,
               G_loc=Gp // nd, coord32=coord32,
@@ -963,7 +1092,8 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
               branch_diff_dist=float(opt.branch_diff_dist),
               branch_diff_cut=float(opt.branch_diff_cut),
               local_dist=ld,
-              local_count=lc)
+              local_count=lc,
+              a2a_cap=a2a_cap)
 
     from .mesh import pull_global, put_sharded
     t_up0 = time.monotonic()
@@ -1008,6 +1138,7 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
         shape=dict(G=G, Gp=Gp, H=H, E=E, K=K, W=W, S=S, A=A, D=D, R=R,
                    n_devices=nd),
         coord32=coord32,
+        shard_merge=bool(a2a_cap),
         kept_frac=round(sum(len(k) for k in kept_idx)
                         / max(1, sum(g.n_hit for g in d.genomes)), 3),
         upload_bytes=int(sum(b.nbytes for b in (blk_i32, blk_c, blk_ps,

@@ -65,9 +65,13 @@ def main() -> int:
            "md5": hashlib.md5(ref.encode()).hexdigest(),
            "backend": "cpu-mesh-1core", "counts": {}}
 
-    for nd in (1, 2, 4, 8):
-        best = None
-        for rep in range(2):     # rep 1 pays the compile; rep 2 is timed
+    # reps INTERLEAVED across counts: the 1-core container's speed drifts
+    # tens of % across the minutes a sequential sweep takes, which once
+    # inverted the count-8 vs count-1 comparison. Pass 1 pays each
+    # count's compile; passes 2-3 are warm and phase-paired.
+    best = {}
+    for rep in range(3):
+        for nd in (1, 2, 4, 8):
             t0 = time.monotonic()
             buf = io.StringIO()
             pipeline.run(PgOpt(engine="sharded", n_devices=nd), files,
@@ -76,13 +80,14 @@ def main() -> int:
             assert device_loop.LAST.get("engaged"), device_loop.LAST
             assert buf.getvalue() == ref, "GFA mismatch at n_devices=%d" % nd
             last = dict(device_loop.LAST)
-            if best is None or last["run_s"] < best["run_s"]:
-                best = {"wall": round(w, 2), **{k: last[k] for k in
-                        ("pack_s", "upload_s", "run_s", "pull_s",
-                         "rounds_branch_run", "rounds_sweep_run")},
-                        "G_per_shard": last["shape"]["Gp"] // nd}
-        out["counts"][nd] = best
-        print(nd, best, flush=True)
+            if nd not in best or last["run_s"] < best[nd]["run_s"]:
+                best[nd] = {"wall": round(w, 2), **{k: last[k] for k in
+                            ("pack_s", "upload_s", "run_s", "pull_s",
+                             "rounds_branch_run", "rounds_sweep_run")},
+                            "G_per_shard": last["shape"]["Gp"] // nd,
+                            "shard_merge": last.get("shard_merge")}
+            out["counts"][nd] = best[nd]
+            print(rep, nd, best[nd], flush=True)
         with open(os.path.join(ROOT, "MESH_SCALING.json"), "w") as f:
             json.dump(out, f, indent=1)
 
@@ -92,6 +97,47 @@ def main() -> int:
     # with count is the replicated-block duplication
     out["replicated_overhead_8dev"] = round((r8 - r1) / max(r1, 1e-9), 3)
     out["byte_identical_all_counts"] = True
+
+    # ---- overhead decomposition at nd 1 vs 8 (interleaved, no_skip) ----
+    # The 1-core proxy SERIALIZES the shards, so the bucket-exchange
+    # merge (round 5) can never show as a win here: its total key-sort
+    # work across shards is ~(1 + slack)/nd * nd = ~2.5N vs the single
+    # N-key sort at nd=1, even though per-shard (= real-chip wall) work
+    # drops ~nd/(1+slack)x. This section separates (a) that serialized
+    # exchange work, (b) the XLA-CPU collective rendezvous floor
+    # (measured with walk+branch both disabled: only the per-round [2]
+    # convergence psum + loop plumbing remain), from (c) genuinely
+    # replicated compute.
+    dec = {}
+    for rep in range(2):
+        for nd in (1, 8):
+            for dis in ("conv", "conv,walk", "conv,branch",
+                        "conv,walk,branch"):
+                os.environ["PANGENE_DEVLOOP_DISABLE"] = dis
+                buf = io.StringIO()
+                pipeline.run(PgOpt(engine="sharded", n_devices=nd), files,
+                             out=buf)
+                k = "nd%d_%s" % (nd, dis)
+                dec[k] = min(dec.get(k, 1e9), device_loop.LAST["run_s"])
+    os.environ.pop("PANGENE_DEVLOOP_DISABLE", None)
+    out["decomposition_noskip"] = {k: round(v, 3) for k, v in dec.items()}
+    out["sync_floor_8dev_s"] = round(
+        dec["nd8_conv,walk,branch"] - dec["nd1_conv,walk,branch"], 3)
+    out["walk_block_s"] = {
+        "nd1": round(dec["nd1_conv,branch"] - dec["nd1_conv,walk,branch"], 3),
+        "nd8_exchange": round(
+            dec["nd8_conv,branch"] - dec["nd8_conv,walk,branch"], 3)}
+    out["branch_block_s"] = {
+        "nd1": round(dec["nd1_conv"] - dec["nd1_conv,branch"], 3),
+        "nd8": round(dec["nd8_conv"] - dec["nd8_conv,branch"], 3)}
+    out["note"] = (
+        "run_s growth with count on ONE core = serialized per-shard work"
+        " + emulated collective sync; the round-5 bucket-exchange merge"
+        " cuts per-shard sort keys ~nd/(1+slack)x (the real-chip wall"
+        " quantity) and total walk-block time vs the replicated form at"
+        " nd=8, but adds ~1.5x total key-sort work vs nd=1 when"
+        " serialized — the residual overhead here is that serialization"
+        " plus sync_floor_8dev_s, not duplicated per-genome compute")
     with open(os.path.join(ROOT, "MESH_SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
