@@ -180,24 +180,36 @@ def main() -> int:
                         if f.endswith(".paf.gz"))
         n_ns = sum(sum(1 for _ in gzip.open(f)) for f in nfiles)
         util.verbose = 3
-        t0 = time.monotonic()
-        buf = io.StringIO()
-        pipeline.run(PgOpt(engine="sharded"), nfiles, out=buf)
-        dt = time.monotonic() - t0
+        # >= 2 reps ALWAYS: rep 1 of a fresh shape pays trace + backend
+        # compile INSIDE the device-loop run_s (round 4's "1893 s
+        # north-star blowup" was exactly that ~30 min compile counted as
+        # run time); the warm rep is the honest number.
+        ns_walls = []
+        best_ns = None
+        for rep in range(int(os.environ.get("PANGENE_TPU_NS_REPS", "2"))):
+            util.stage_stats.clear()
+            t0 = time.monotonic()
+            buf = io.StringIO()
+            pipeline.run(PgOpt(engine="sharded"), nfiles, out=buf)
+            dt = time.monotonic() - t0
+            assert device_loop.LAST.get("engaged"), device_loop.LAST
+            md5_ns = hashlib.md5(buf.getvalue().encode()).hexdigest()
+            assert md5_ns == "9eccc87817f4450bab1ae54a0dac331a", md5_ns
+            ns_walls.append(round(dt, 2))
+            if best_ns is None or dt < best_ns[0]:
+                best_ns = (dt, dict(device_loop.LAST, host_stages=dict(
+                    util.stage_stats)))
+            out["northstar_sharded"] = {
+                "n_records": n_ns, "s": round(best_ns[0], 2),
+                "rep_walls_s": ns_walls,
+                "records_per_s": round(n_ns / best_ns[0], 1),
+                "md5": md5_ns[:8],
+                "breakdown": best_ns[1],
+            }
+            out["checks"]["northstar_sharded_md5"] = "identical (%s)" \
+                % md5_ns[:8]
+            _dump(out)
         util.verbose = 0
-        assert device_loop.LAST.get("engaged"), device_loop.LAST
-        md5_ns = hashlib.md5(buf.getvalue().encode()).hexdigest()
-        assert md5_ns == "9eccc87817f4450bab1ae54a0dac331a", md5_ns
-        out["northstar_sharded"] = {
-            "n_records": n_ns, "s": round(dt, 2),
-            "records_per_s": round(n_ns / dt, 1),
-            "md5": md5_ns[:8],
-            "breakdown": dict(device_loop.LAST,
-                              host_stages=dict(util.stage_stats)),
-        }
-        out["checks"]["northstar_sharded_md5"] = "identical (%s)" \
-            % md5_ns[:8]
-        _dump(out)
 
     # ---- 4. jax engine on C4, byte-identical ----
     golden = open(os.path.join(ROOT, "tests/golden/C4.gfa")).read()

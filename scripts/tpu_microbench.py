@@ -50,8 +50,9 @@ def _force(out):
 
 
 def main():
-    # big-corpus shapes: Gl=64 genomes, H=20992 hits, A=327680 arcs
-    Gl, H, A = 64, 20992, 327680
+    # big-corpus shapes AFTER kept-row compaction (round 4): Gl=64
+    # genomes, H=10240 kept hits, A=327680 arcs
+    Gl, H, A = 64, 10240, 327680
     N = 2 * Gl * H
     rng = np.random.default_rng(0)
     S = 10000
@@ -101,6 +102,22 @@ def main():
     v2d = s1j.reshape(Gl, 2 * H)
     cases["rowsort_i32_1op"] = timed(
         lambda a, v: lax.sort((a, v), dimension=1, num_keys=1), k2d, v2d)
+    # 4b. THE production per-round merge sort: ONE flat i64 array, no
+    # payload (walk_merge lean path) — the 5.65 s/16-round block on chip
+    cases["sort_lean_1d_i64"] = timed(lambda k: lax.sort(k), kk64)
+    # 4c/4d. the same keys as a BATCHED lane sort (columnsort candidate:
+    # Leighton's 8-pass columnsort over [c, N/c] lane sorts would replace
+    # the 1D sort with ~4 of these + fixed permutations; worth building
+    # only if a batched lane sort is >> 4x cheaper per element)
+    for c in (8, 64):
+        cases["sort_rows%d_i64" % c] = timed(
+            lambda k, c=c: lax.sort(k.reshape(c, N // c), dimension=1),
+            kk64)
+    # 4e. i64 1D sort at half N (what kept-row compaction bought)
+    cases["sort_lean_1d_i64_halfN"] = timed(
+        lambda k: lax.sort(k[:N // 2]), kk64)
+    # 4f. 1D i32 sort at N (dtype effect on the bitonic network)
+    cases["sort_lean_1d_i32"] = timed(lambda k: lax.sort(k), vw32)
     # 5. scatter-add N updates into [A]
     cases["scatter_add_flat"] = timed(
         lambda i, v: jnp.zeros(A, jnp.int32).at[i].add(v, mode="drop"),
@@ -140,7 +157,7 @@ def main():
         lambda x: lax.associative_scan(jnp.maximum, x, axis=1), km)
     # 9. the shadow sweep at big shape (W=32, K=8) for one round
     from pangene_tpu.ops import device as dev
-    K, W = 8, 32
+    K, W = 8, 8    # post-compaction big-shape band
     sc = dev.SweepCols(
         valid=jnp.ones((Gl, H), bool),
         cid=jnp.asarray(rng.integers(0, 40, (Gl, H)).astype(np.int32)),

@@ -23,8 +23,11 @@ sys.path.insert(0, ROOT)
 
 SCALES = {"small": (32, 2000, 11), "big": (64, 10000, 7),
           "northstar": (100, 19000, 42)}
-# northstar variants are ~minutes each even warm: 1 rep, no best-of-2
-REPS = {"small": 2, "big": 2, "northstar": 1}
+# 2 reps everywhere: rep 1 of a FRESH shape pays trace + backend compile
+# INSIDE run_s (the lesson of the round-4 "1893 s north-star blowup" —
+# it was ~30 min of compile counted as run time, not a scaling
+# pathology); best-of-2 reports the warm executable.
+REPS = {"small": 2, "big": 2, "northstar": 2}
 
 
 def one_variant(scale, disable):
