@@ -1095,11 +1095,17 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
               local_count=lc,
               a2a_cap=a2a_cap)
 
-    from .mesh import pull_global, put_sharded
+    from .mesh import parallel_transfer_threads, pull_global, put_sharded
     t_up0 = time.monotonic()
-    dev_blks = [put_sharded(b, mesh, 1)
-                for b in (blk_i32, blk_c, blk_ps.view(np.int64), blk_u8,
-                          blk_ex)]
+    blocks = (blk_i32, blk_c, blk_ps.view(np.int64), blk_u8, blk_ex)
+    nt = parallel_transfer_threads()
+    if nt > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(nt) as ex:
+            dev_blks = list(ex.map(lambda b: put_sharded(b, mesh, 1),
+                                   blocks))
+    else:
+        dev_blks = [put_sharded(b, mesh, 1) for b in blocks]
     for b in dev_blks:
         b.block_until_ready()   # note: a no-op on the axon tunnel —
         # deferred transfer time is then charged to run_s instead
@@ -1123,11 +1129,18 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
     # PULLED when the verbosity will actually replay them.
     from .. import util
     pull_dcap = util.verbose >= 3
-    host = [pull_global(o) for o in outs[:4]] \
-        + [np.asarray(o) for o in outs[4:15]] \
-        + ([np.asarray(o) for o in outs[15:19]] if pull_dcap
-           else [np.zeros((0,) + o.shape[1:], o.dtype) for o in outs[15:19]]) \
-        + [np.asarray(outs[19])]
+    pulls = [(pull_global, o) for o in outs[:4]] \
+        + [(np.asarray, o) for o in outs[4:15]] \
+        + ([(np.asarray, o) for o in outs[15:19]] if pull_dcap
+           else [(lambda o: np.zeros((0,) + o.shape[1:], o.dtype), o)
+                 for o in outs[15:19]]) \
+        + [(np.asarray, outs[19])]
+    if nt > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(nt) as ex:
+            host = list(ex.map(lambda fo: fo[0](fo[1]), pulls))
+    else:
+        host = [f(o) for f, o in pulls]
     t_pull1 = time.monotonic()
     (flt, weak, shadow, pid_dom, alive, seg_tot, seg_ng, arc_vw, arc_s1,
      arc_ng, arc_tot, arc_ad, arc_s2, loci_fin, logs,

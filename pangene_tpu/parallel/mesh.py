@@ -73,6 +73,21 @@ def _transfer_chunk_bytes() -> int:
     return 0 if jax.default_backend() == "cpu" else 32 << 20
 
 
+def parallel_transfer_threads() -> int:
+    """>1 enables overlapping host<->device transfers on a small thread
+    pool: the PJRT client releases the GIL during the network send, so a
+    second thread can serialize chunk k+1 while chunk k transmits
+    (the tunnel is the bottleneck at ~60 MB/s). Default OFF — the
+    experimental axon plugin has a segfault history and concurrent
+    transfer calls are only enabled after a successful chip trial
+    (set PANGENE_PARALLEL_TRANSFER=2)."""
+    import os
+    try:
+        return max(1, int(os.environ.get("PANGENE_PARALLEL_TRANSFER", "1")))
+    except ValueError:
+        return 1
+
+
 def _put_chunked(x: np.ndarray, sh: NamedSharding, g_axis: int, lim: int):
     """device_put x in <=lim-byte slices along the largest non-sharded
     axis, then concatenate on device under the target sharding."""
@@ -83,15 +98,24 @@ def _put_chunked(x: np.ndarray, sh: NamedSharding, g_axis: int, lim: int):
     ax = max(cands, key=lambda a: x.shape[a])
     n_chunks = min(-(-x.nbytes // lim), x.shape[ax])
     step = -(-x.shape[ax] // n_chunks)
-    parts = []
+    pieces = []
     idx = [slice(None)] * x.ndim
     for lo in range(0, x.shape[ax], step):
         idx[ax] = slice(lo, lo + step)
-        piece = np.ascontiguousarray(x[tuple(idx)])
+        pieces.append(np.ascontiguousarray(x[tuple(idx)]))
+
+    def put_one(piece):
         if piece.nbytes > lim:
-            parts.append(_put_chunked(piece, sh, g_axis, lim))
-        else:
-            parts.append(jax.device_put(piece, sh))
+            return _put_chunked(piece, sh, g_axis, lim)
+        return jax.device_put(piece, sh)
+
+    nt = parallel_transfer_threads()
+    if nt > 1 and len(pieces) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(nt) as ex:
+            parts = list(ex.map(put_one, pieces))
+    else:
+        parts = [put_one(p) for p in pieces]
     cat = jax.jit(lambda *ps: jnp.concatenate(ps, axis=ax),
                   out_shardings=sh)
     return cat(*parts)
