@@ -14,6 +14,9 @@ while grep -sq "tpu_gate_watchdog" /proc/[0-9]*/cmdline 2>/dev/null; do
     sleep 120
 done
 say "primary chain done; starting"
+PYTHONPATH="$REPO:$PYTHONPATH" timeout 7200 \
+    python3 "$REPO/scripts/tpu_microbench.py" >> "$LOG" 2>&1 \
+    && say "microbench OK" || say "microbench FAILED"
 PYTHONPATH="$REPO:$PYTHONPATH" timeout 14400 \
     python3 "$REPO/scripts/tpu_roundprof.py" northstar >> "$LOG" 2>&1 \
     && say "roundprof northstar (paired) OK" || say "roundprof northstar FAILED"
@@ -24,7 +27,4 @@ PANGENE_TPU_NORTHSTAR=1 PANGENE_TPU_BIG=0 \
     PYTHONPATH="$REPO:$PYTHONPATH" timeout 10800 \
     python3 "$REPO/scripts/tpu_gate.py" >> "$LOG" 2>&1 \
     && say "gate northstar refresh OK" || say "gate northstar FAILED"
-PYTHONPATH="$REPO:$PYTHONPATH" timeout 7200 \
-    python3 "$REPO/scripts/tpu_microbench.py" >> "$LOG" 2>&1 \
-    && say "microbench OK" || say "microbench FAILED"
 say "chain-b done"
