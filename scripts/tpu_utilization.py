@@ -150,6 +150,11 @@ def main() -> int:
         "busy_frac": round(busy_frac, 3),
         "busy_frac_def": "union of device-op intervals / device-active "
                          "span (max across device pids)",
+        # vs the device-loop wall: includes launch gaps + host glue
+        # between executions (the span-based figure tautologically
+        # approaches 1.0 when one lane's ops tile the trace)
+        "busy_frac_of_run_s": round(min(busy_s / run_s, 1.0), 3)
+        if run_s else 0.0,
         "device_pids": sorted(dev_pids),
         "analytic_bytes_per_round": bpr,
         "rounds_executed": rounds,
