@@ -55,6 +55,52 @@ def next_pow2(n: int, lo: int = 8) -> int:
 
 
 # ---------------------------------------------------------------------------
+# columnsort: 1D sort as batched lane sorts (the TPU-friendly shape)
+# ---------------------------------------------------------------------------
+
+def colsort_cols(n: int) -> int:
+    """Largest power-of-2 column count c (<= 64) for which Leighton's
+    columnsort is valid on n keys: c | n, c | (n/c) and n/c >= 2(c-1)^2.
+    0 when no c >= 8 qualifies (caller falls back to lax.sort)."""
+    for c in (64, 32, 16, 8):
+        r = n // c
+        if n % c == 0 and r % c == 0 and r >= 2 * (c - 1) ** 2:
+            return c
+    return 0
+
+
+def colsort_i64(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Ascending sort of a flat i64 array via Leighton's 8-step
+    columnsort: 4 row-sorts of [c, r] + 1 of [c+1, r] + 2 transposes +
+    one shifted pass. XLA lowers a 1D lax.sort to a bitonic network over
+    the (slow) minor dimension; the same keys as a BATCHED lane sort
+    vectorize across sublanes, which measured several-fold faster per
+    element on the chip (TPU_MICROBENCH.json sort_rows* vs
+    sort_lean_1d). Exactness: columnsort is a proven oblivious sorting
+    network, and every production key is distinct (the jo row index is
+    embedded in the low bits), so the sorted output is the unique total
+    order — bitwise identical to lax.sort's.
+
+    The flat array is interpreted as the column-major layout of the
+    classical r x c matrix; each ROW of the [c, r] working array is one
+    classical column. Validity requires c | r and r >= 2(c-1)^2
+    (checked by colsort_cols)."""
+    n = x.shape[0]
+    r = n // c
+    R = x.reshape(c, r)
+    R = lax.sort(R, dimension=1)                      # 1. sort columns
+    R = R.reshape(r, c).T                             # 2. transpose
+    R = lax.sort(R, dimension=1)                      # 3. sort columns
+    R = R.T.reshape(c, r)                             # 4. untranspose
+    R = lax.sort(R, dimension=1)                      # 5. sort columns
+    lo = jnp.full(r // 2, jnp.iinfo(jnp.int64).min, x.dtype)
+    hi = jnp.full(r - r // 2, jnp.iinfo(jnp.int64).max, x.dtype)
+    z = jnp.concatenate([lo, R.reshape(-1), hi])      # 6. shift r/2
+    z = lax.sort(z.reshape(c + 1, r), dimension=1)    # 7. sort columns
+    return z.reshape(-1)[r // 2:r // 2 + n]           # 8. unshift
+
+
+# ---------------------------------------------------------------------------
 # band width (exact): W = max_i (i - min{j : cid_j==cid_i && ce_j > cs_i})
 # ---------------------------------------------------------------------------
 

@@ -112,6 +112,13 @@ class Cfg(NamedTuple):
     # the per-(src,dst) all_to_all chunk capacity (static); a dest count
     # above it sets the overflow flag -> exact host fallback.
     a2a_cap: int
+    # columnsort column counts for the per-round lean merge sort (0 =
+    # plain lax.sort): the same keys as 4-5 BATCHED lane sorts instead
+    # of one 1D bitonic network (ops/device.colsort_i64 — bit-identical,
+    # keys are distinct). colsort: the replicated N-key sort;
+    # colsort_loc: the sharded path's NL-key local sort.
+    colsort: int
+    colsort_loc: int
 
 
 def _seg_reduce(op, vals, seg_id, n):
@@ -315,7 +322,8 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 kp = jnp.where(ok2, (keys << JB) | jo_loc, KSENT) \
                     .reshape(-1)
                 s1f = s1_2.reshape(-1)
-                kps_l = lax.sort(kp)                   # local lean sort
+                kps_l = dev.colsort_i64(kp, cfg.colsort_loc) \
+                    if cfg.colsort_loc else lax.sort(kp)  # local lean sort
                 validl = kps_l != KSENT
                 v_of = kps_l >> (JB + GB + B)
                 dest = jnp.clip((v_of * nd) // (2 * S), 0, nd - 1) \
@@ -407,7 +415,8 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 base = lax.axis_index("g").astype(I64) * NL
                 jo_loc = (base + jnp.arange(NL, dtype=I64)).reshape(Gl, 2 * H)
                 kp = jnp.where(ok2, (keys << JB) | jo_loc, KSENT)
-                kps = lax.sort(ga(kp))
+                kps = dev.colsort_i64(ga(kp), cfg.colsort) \
+                    if cfg.colsort else lax.sort(ga(kp))
                 N = kps.shape[0]
                 keys = kps >> JB                    # (vw<<GB)|g rows
                 va = keys != (KSENT >> JB)
@@ -1081,6 +1090,20 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
         NL = (Gp // nd) * 2 * H
         slack = float(_os.environ.get("PANGENE_DEVLOOP_A2A_SLACK", "1.5"))
         a2a_cap = min(((int(NL * slack) // nd + 127) // 128) * 128, NL)
+    # columnsort for the lean merge sorts: "1" forces on, "0" (current
+    # default) off, "auto" enables on TPU backends only. Default stays
+    # off until the chip A/B (TPU_MICROBENCH sort_rows* vs sort_lean_1d
+    # + an end-to-end big-corpus trial) lands; flipping it recompiles
+    # every device-loop shape.
+    cs_env = _os.environ.get("PANGENE_DEVLOOP_COLSORT", "0")
+    use_cs = cs_env == "1" or (
+        cs_env == "auto"
+        and jax.default_backend() not in ("cpu",))
+    colsort = colsort_loc = 0
+    if use_cs and JB:
+        colsort = dev.colsort_cols(Gp * 2 * H)
+        if a2a_cap:
+            colsort_loc = dev.colsort_cols((Gp // nd) * 2 * H)
     cfg = Cfg(H=H, K=K, W=W, S=S, A=A, D=D, B=B, GB=GB, JB=JB,
               n_gene=ngene, R=R,
               G_loc=Gp // nd, coord32=coord32,
@@ -1093,7 +1116,9 @@ def graph_gen_device(opt: PgOpt, q) -> bool:
               branch_diff_cut=float(opt.branch_diff_cut),
               local_dist=ld,
               local_count=lc,
-              a2a_cap=a2a_cap)
+              a2a_cap=a2a_cap,
+              colsort=colsort,
+              colsort_loc=colsort_loc)
 
     from .mesh import parallel_transfer_threads, pull_global, put_sharded
     t_up0 = time.monotonic()
