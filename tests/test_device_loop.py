@@ -133,6 +133,45 @@ def test_devloop_capacity_fallback(corpus, monkeypatch):
     assert run(corpus, "sharded") == want
 
 
+def test_devloop_shard_merge_replicated_identical(corpus, monkeypatch):
+    """The bucket-exchange distributed merge (nd>2 default) and the
+    replicated all_gather+sort form must be byte-identical; this pins the
+    replicated form stays live and exact when the exchange is disabled."""
+    want = run(corpus, "sharded")
+    from pangene_tpu.parallel import device_loop
+    assert device_loop.LAST.get("engaged")
+    monkeypatch.setenv("PANGENE_DEVLOOP_SHARD_MERGE", "0")
+    got = run(corpus, "sharded")
+    assert device_loop.LAST.get("engaged")
+    assert not device_loop.LAST.get("shard_merge")
+    assert got == want
+
+
+def test_devloop_a2a_capacity_overflow_fallback(corpus, monkeypatch):
+    """A per-(src,dst) all_to_all chunk overflow must ride the existing
+    overflow flag into the byte-exact host-rounds fallback. A slack tiny
+    enough to underfit the real per-dest counts triggers it."""
+    want = run(corpus, "host")
+    monkeypatch.setenv("PANGENE_DEVLOOP_A2A_SLACK", "0.01")
+    from pangene_tpu.parallel import device_loop
+    got = run(corpus, "sharded")
+    assert got == want
+    assert not device_loop.LAST.get("engaged"), \
+        "expected the a2a-capacity overflow fallback to trigger"
+
+
+def test_devloop_colsort_identical(corpus, monkeypatch):
+    """Columnsort-based lean merge (PANGENE_DEVLOOP_COLSORT=1) must be
+    byte-identical — keys are distinct, so any correct sort yields the
+    same order; this pins it end-to-end through the schedule."""
+    want = run(corpus, "sharded")
+    monkeypatch.setenv("PANGENE_DEVLOOP_COLSORT", "1")
+    from pangene_tpu.parallel import device_loop
+    got = run(corpus, "sharded")
+    assert device_loop.LAST.get("engaged")
+    assert got == want
+
+
 def test_devloop_hit0_filtered_at_entry(corpus, monkeypatch):
     """Kept-row compaction's ev1 quirk: when a genome's ORIGINAL hit 0
     (first in cs order) is filtered in phase 1, the first row of the
