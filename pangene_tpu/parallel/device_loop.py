@@ -122,7 +122,10 @@ class Cfg(NamedTuple):
 
 
 def _seg_reduce(op, vals, seg_id, n):
-    return op(vals, seg_id, num_segments=n)
+    # every seg_id in the schedule is cumsum-derived (ascending):
+    # indices_are_sorted lets XLA:TPU lower the scatter without the
+    # unsorted-duplicate serialization path
+    return op(vals, seg_id, num_segments=n, indices_are_sorted=True)
 
 
 def _plus499_i32(S, n):
@@ -358,19 +361,19 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 in_id = jnp.clip(jnp.cumsum(in_new.astype(jnp.int32)) - 1,
                                  0, RL - 1)
                 s1_in = jax.ops.segment_max(jnp.where(va, rs1, 0), in_id,
-                                            num_segments=RL)
+                                            num_segments=RL, indices_are_sorted=True)
                 vw_row = keys_r >> GB
                 pvw = jnp.concatenate([jnp.array([KSENT]), vw_row[:-1]])
                 out_new = va & (vw_row != pvw)
                 out_id = jnp.clip(
                     jnp.cumsum(out_new.astype(jnp.int32)) - 1, 0, RL - 1)
                 ng_f = jax.ops.segment_sum(in_new.astype(jnp.int32),
-                                           out_id, num_segments=RL)
+                                           out_id, num_segments=RL, indices_are_sorted=True)
                 s1s_f = jax.ops.segment_sum(
                     jnp.where(in_new, s1_in[in_id].astype(I64), 0),
-                    out_id, num_segments=RL)
+                    out_id, num_segments=RL, indices_are_sorted=True)
                 vw_f = jax.ops.segment_max(jnp.where(va, vw_row, 0),
-                                           out_id, num_segments=RL)
+                                           out_id, num_segments=RL, indices_are_sorted=True)
                 n_out_l = jnp.sum(out_new.astype(jnp.int64))
                 nouts = lax.all_gather(n_out_l, "g")           # [nd]
                 my = lax.axis_index("g")
@@ -434,19 +437,19 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
             in_id = jnp.clip(jnp.cumsum(in_new.astype(jnp.int32)) - 1,
                              0, N - 1)
             s1_in = jax.ops.segment_max(jnp.where(va, s1_2, 0), in_id,
-                                        num_segments=N)
+                                        num_segments=N, indices_are_sorted=True)
             vw_row = keys >> GB
             pvw = jnp.concatenate([jnp.array([KSENT]), vw_row[:-1]])
             out_new = va & (vw_row != pvw)
             out_id = jnp.clip(jnp.cumsum(out_new.astype(jnp.int32)) - 1,
                               0, N - 1)
             ng_f = jax.ops.segment_sum(in_new.astype(jnp.int32), out_id,
-                                       num_segments=N)
+                                       num_segments=N, indices_are_sorted=True)
             s1s_f = jax.ops.segment_sum(
                 jnp.where(in_new, s1_in[in_id].astype(I64), 0), out_id,
-                num_segments=N)
+                num_segments=N, indices_are_sorted=True)
             vw_f = jax.ops.segment_max(jnp.where(va, vw_row, 0), out_id,
-                                       num_segments=N)
+                                       num_segments=N, indices_are_sorted=True)
             n_out = jnp.sum(out_new.astype(jnp.int64))
             live = iotaA < n_out
             arc_vw = jnp.where(live, vw_f[:A], SENT)
@@ -471,21 +474,21 @@ def _schedule(blk_i32, blk_c, blk_ps, blk_u8, blk_ex, seg_gid, sid_of,
                 pair_st = (mine[:, :H], mine[:, H:], tgt_prev, pair_ok)
                 return lean + (pair_st,)
             cnt_in = jax.ops.segment_sum(va.astype(jnp.int64), in_id,
-                                         num_segments=N)
+                                         num_segments=N, indices_are_sorted=True)
             ds_in = jax.ops.segment_sum(
-                jnp.where(va, d2.astype(I64), 0), in_id, num_segments=N)
+                jnp.where(va, d2.astype(I64), 0), in_id, num_segments=N, indices_are_sorted=True)
             dr_in = sf.plus499_trunc(ds_in, jnp.maximum(cnt_in, 1))
             s2_in = jax.ops.segment_max(jnp.where(va, s2_2, 0), in_id,
-                                        num_segments=N)
+                                        num_segments=N, indices_are_sorted=True)
             tot_f = jax.ops.segment_sum(
                 jnp.where(in_new, cnt_in[in_id], 0).astype(jnp.int32),
-                out_id, num_segments=N)
+                out_id, num_segments=N, indices_are_sorted=True)
             ds_f = jax.ops.segment_sum(
                 jnp.where(in_new, dr_in[in_id] * cnt_in[in_id], 0),
-                out_id, num_segments=N)
+                out_id, num_segments=N, indices_are_sorted=True)
             s2s_f = jax.ops.segment_sum(
                 jnp.where(in_new, s2_in[in_id].astype(I64), 0), out_id,
-                num_segments=N)
+                num_segments=N, indices_are_sorted=True)
             arc_tot = jnp.where(live, tot_f[:A], 0)
             # exact output averages (graph.c:170-172) via softfloat
             arc_ad = jnp.where(live, sf.plus499_trunc(
