@@ -76,7 +76,17 @@ def main() -> int:
         "interleaved sharded/host/reference reps per point; sharded rep 1 "
         "pays compile (excluded from best), md5 cross-checked across all "
         "three")}
-    for name, ngen, ngene, seed in POINTS:
+    # resumable: completed points from an earlier (killed) run are kept,
+    # and `argv[1:]` selects which points to (re)run — lets a short tunnel
+    # window prioritize e.g. the big point without losing the small one
+    try:
+        curve["points"].update(
+            json.load(open(gate_path))["scaling_curve"]["points"])
+    except Exception:
+        pass
+    want = set(sys.argv[1:])
+    points = [p for p in POINTS if not want or p[0] in want]
+    for name, ngen, ngene, seed in points:
         cache = os.path.join(tempfile.gettempdir(),
                              "pg_bench_%d_%d_%d" % (ngen, ngene, seed))
         if not os.path.exists(os.path.join(cache, "done")):
