@@ -32,9 +32,17 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: shape-bucketed kernels recompile across CLI
-# invocations otherwise (first TPU compile is 20-40s per shape)
-_cache_dir = os.environ.get("PANGENE_TPU_CACHE",
-                            os.path.expanduser("~/.cache/pangene_tpu_xla"))
+# invocations otherwise (first TPU compile is 20-40s per shape; the full
+# device-resident schedule is ~30 MIN of service-side compile per shape).
+# Prefer a repo-local cache when one exists: the home directory dies with
+# the container, the repo survives — a committed .xla_cache turns every
+# fresh-container first run from a 30-min compile into a warm load.
+_repo_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".xla_cache")
+_cache_dir = os.environ.get(
+    "PANGENE_TPU_CACHE",
+    _repo_cache if os.path.isdir(_repo_cache)
+    else os.path.expanduser("~/.cache/pangene_tpu_xla"))
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
